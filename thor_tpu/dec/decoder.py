@@ -1,0 +1,122 @@
+"""Top-level Thor decoder: stream framing, reference management, reorder.
+
+Mirrors dec/maindec.c:91-195 + dec/decode_frame.c:45-148. The parse stage
+is host-side serial; reconstruction runs through the pixel kernel path
+(NumPy exact path or the batched JAX device path).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..bitstream.reader import BitReader, iter_frames
+from ..codec.constants import MAX_REF_FRAMES, MAX_REORDER_BUFFER
+from .parse import FrameParser, SequenceHeader
+from .reconstruct_np import RefFrame, apply_clpf, reconstruct_frame
+
+
+class Decoder:
+    def __init__(self, backend: str = "numpy"):
+        self.backend = backend
+        self.seq: Optional[SequenceHeader] = None
+        self.refs: List[Optional[RefFrame]] = [None] * MAX_REF_FRAMES
+        self.interp_frame: Optional[RefFrame] = None
+        self._jax_ctx = None
+
+    def decode_stream(self, path: str):
+        """Yield (y, u, v) frames in display order."""
+        frames = iter_frames(path)
+        first = True
+        reorder: dict = {}
+        last_output = -1
+        decoded = 0
+
+        for payload in frames:
+            br = BitReader(payload)
+            if first:
+                self.seq = SequenceHeader.read(br)
+                self.refs = [RefFrame(
+                    np.zeros((self.seq.height, self.seq.width), np.uint8),
+                    np.zeros((self.seq.height // 2, self.seq.width // 2), np.uint8),
+                    np.zeros((self.seq.height // 2, self.seq.width // 2), np.uint8),
+                    0) for _ in range(MAX_REF_FRAMES)]
+                first = False
+
+            y, u, v, display_num = self.decode_frame(br)
+            decoded += 1
+            reorder[display_num % MAX_REORDER_BUFFER] = (y, u, v)
+            nxt = (last_output + 1) % MAX_REORDER_BUFFER
+            if nxt in reorder:
+                last_output += 1
+                yield reorder.pop(nxt)
+
+        for i in range(1, MAX_REORDER_BUFFER + 1):
+            nxt = (last_output + i) % MAX_REORDER_BUFFER
+            if nxt in reorder:
+                yield reorder.pop(nxt)
+            else:
+                break
+
+    def decode_frame(self, br: BitReader):
+        seq = self.seq
+        ref_frame_nums = [r.frame_num for r in self.refs]
+        parser = FrameParser(seq, br, ref_frame_nums)
+        fs = parser.parse()
+
+        if fs.interp_ref_frame:
+            self._make_interp_frame(fs)
+
+        if self.backend == "jax":
+            from .reconstruct_jax import reconstruct_frame_jax
+            y, u, v = reconstruct_frame_jax(
+                self, fs, self.refs, self.interp_frame, seq.width, seq.height,
+                seq.bipred, seq.deblocking)
+        else:
+            y, u, v = reconstruct_frame(
+                fs, self.refs, self.interp_frame, seq.width, seq.height,
+                seq.bipred, seq.deblocking)
+            apply_clpf(fs, y, u, v, seq.width, seq.height)
+
+        # Sliding-window reference update (dec/decode_frame.c:135-147)
+        self.refs = [RefFrame(y, u, v, fs.display_frame_num)] + self.refs[:-1]
+        return y, u, v, fs.display_frame_num
+
+    def _make_interp_frame(self, fs):
+        """Re-synthesize the interpolated reference
+        (dec/decode_frame.c:91-109)."""
+        from ..ops.temporal_interp import interpolate_frames
+        if not (fs.num_ref > 2 and fs.ref_array[0] == -1):
+            return
+        ref1 = self.refs[fs.ref_array[1]]
+        ref2 = self.refs[fs.ref_array[2]]
+        dfn = fs.display_frame_num
+        off1 = ref2.frame_num - dfn
+        off2 = dfn - ref1.frame_num
+        if off1 < 0 and off2 < 0:
+            off1, off2 = -off1, -off2
+        if off1 == off2:
+            off1 = off2 = 1
+        y, u, v = interpolate_frames(ref1, ref2, off1 + off2, off2)
+        self.interp_frame = RefFrame(y, u, v, dfn)
+
+
+def decode_file(path: str, out_path: Optional[str] = None,
+                backend: str = "numpy"):
+    """Decode a bitstream; optionally write planar YUV output."""
+    dec = Decoder(backend=backend)
+    frames = []
+    out = open(out_path, "wb") if out_path else None
+    try:
+        for (y, u, v) in dec.decode_stream(path):
+            if out:
+                out.write(y.tobytes())
+                out.write(u.tobytes())
+                out.write(v.tobytes())
+            else:
+                frames.append((y, u, v))
+    finally:
+        if out:
+            out.close()
+    return frames
