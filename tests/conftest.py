@@ -1,0 +1,25 @@
+"""Test configuration: force the CPU backend with a virtual 8-device mesh.
+
+Multi-chip sharding paths (thor_tpu.parallel) are validated on a faked
+8-device CPU mesh, mirroring how the driver dry-runs `dryrun_multichip`.
+Must run before the first `import jax` anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+TESTDATA = REPO / "testdata"
+ORACLE_ENC = REPO / ".oracle" / "Thorenc"
+ORACLE_DEC = REPO / ".oracle" / "Thordec"
