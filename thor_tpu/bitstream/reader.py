@@ -11,6 +11,11 @@ downstream of it runs as batched device kernels.
 from __future__ import annotations
 
 
+class CorruptStream(Exception):
+    """Raised on structurally impossible bitstream content (e.g. a
+    truncated payload decoding as a runaway VLC prefix)."""
+
+
 class BitReader:
     """MSB-first bit reader over one frame payload."""
 
@@ -80,6 +85,8 @@ def get_vlc(n: int, br: BitReader) -> int:
             if br.showbits(1) == 0:
                 lead += 1
                 br.flushbits(1)
+                if lead > 32:
+                    raise CorruptStream("vlc escape runaway prefix")
             else:
                 tmp = br.getbits(lead + 1)
                 return 6 * (1 << n) + tmp - (1 << n)
@@ -90,6 +97,8 @@ def get_vlc(n: int, br: BitReader) -> int:
                 cw = br.getbits(n - 4)
                 return (zeroes << (n - 4)) + cw
             zeroes += 1
+            if zeroes > 64:
+                raise CorruptStream("vlc6/7 runaway prefix")
     elif n == 8:
         if br.getbits1():
             return 0
@@ -109,12 +118,16 @@ def get_vlc(n: int, br: BitReader) -> int:
                 cw = br.getbits(4)
                 return (zeroes << 4) + cw + 11
             zeroes += 1
+            if zeroes > 64:
+                raise CorruptStream("vlc9 runaway prefix")
     elif n == 10:
         lead = 0
         while True:
             if br.showbits(1) == 0:
                 lead += 1
                 br.flushbits(1)
+                if lead > 32:
+                    raise CorruptStream("vlc10 runaway prefix")
             else:
                 return br.getbits(lead + 1) - 1
     elif n == 11:
@@ -128,6 +141,8 @@ def get_vlc(n: int, br: BitReader) -> int:
             val += 2
             if tmp:
                 break
+            if val > 128:
+                raise CorruptStream("vlc11 runaway prefix")
         return val + br.getbits(1)
     elif n == 12:
         val = 0
@@ -158,4 +173,9 @@ def iter_frames(path: str):
             if len(hdr) < 4:
                 return
             length = int.from_bytes(hdr, "big")
-            yield f.read(length)
+            payload = f.read(length)
+            if len(payload) < length:
+                raise CorruptStream(
+                    f"truncated frame payload: expected {length} bytes, "
+                    f"got {len(payload)}")
+            yield payload

@@ -1,0 +1,463 @@
+"""Sequence/frame-level encoder driver.
+
+Mirrors enc/mainenc.c (GOP structure, frame typing, QP cascade,
+reference-list construction) and enc/encode_frame.c (lambda model, frame
+header, SB loop, in-loop filters, CLPF decision, sliding-window refs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..bitstream.writer import BitWriter
+from ..codec.constants import (
+    BETA_TABLE, CHROMA_QP, I_FRAME, B_FRAME, P_FRAME, MAX_BLOCK_SIZE,
+    MAX_NUM_INTRA_MODES, MAX_REF_FRAMES, MODE_BIPRED, TC_TABLE)
+from ..codec.blockdata import DeblockData
+from ..ops import np_kernels as K
+from .block import BlockParam, process_block
+
+# lambda = lambda_coeff * squared_lambda_QP[qp] (enc/encode_frame.c:37-46)
+SQUARED_LAMBDA_QP = [
+    0.0382, 0.0485, 0.0615, 0.0781, 0.0990, 0.1257, 0.1595, 0.2023, 0.2567,
+    0.3257, 0.4132, 0.5243, 0.6652, 0.8440, 1.0709, 1.3588, 1.7240, 2.1874,
+    2.7754, 3.5214, 4.4679, 5.6688, 7.1926, 9.1259, 11.5789, 14.6912,
+    18.6402, 23.6505, 30.0076, 38.0735, 48.3075, 61.2922, 77.7672, 98.6706,
+    125.1926, 158.8437, 201.5399, 255.7126, 324.4467, 411.6560, 522.3067,
+    662.6996, 840.8294, 1066.8393, 1353.5994, 1717.4389, 2179.0763,
+    2764.7991, 3507.9607, 4450.8797, 5647.2498, 7165.1970]
+
+
+@dataclass
+class EncoderParams:
+    """Typed flag registry with reference defaults
+    (enc/strings.c:286-338)."""
+    width: int = 1920
+    height: int = 1080
+    qp: int = 32
+    num_frames: int = 600
+    skip: int = 0
+    frame_rate: float = 60.0
+    lambda_coeffI: float = 1.0
+    lambda_coeffP: float = 1.0
+    lambda_coeffB: float = 1.0
+    lambda_coeffB0: float = 1.0
+    lambda_coeffB1: float = 1.0
+    lambda_coeffB2: float = 1.0
+    lambda_coeffB3: float = 1.0
+    early_skip_thr: float = 0.0
+    enable_tb_split: int = 0
+    enable_pb_split: int = 0
+    max_num_ref: int = 1
+    HQperiod: int = 1
+    num_reorder_pics: int = 0
+    dyadic_coding: int = 1
+    interp_ref: int = 0
+    dqpP: int = 0
+    dqpB: int = 0
+    dqpB0: int = 0
+    dqpB1: int = 0
+    dqpB2: int = 0
+    dqpB3: int = 0
+    mqpP: float = 1.0
+    mqpB: float = 1.0
+    mqpB0: float = 1.0
+    mqpB1: float = 1.0
+    mqpB2: float = 1.0
+    mqpB3: float = 1.0
+    dqpI: int = 0
+    intra_period: int = 0
+    intra_rdo: int = 0
+    rdoq: int = 0
+    max_delta_qp: int = 0
+    delta_qp_step: int = 1
+    encoder_speed: int = 0
+    sync: int = 0
+    deblocking: int = 1
+    clpf: int = 1
+    snrcalc: int = 1
+    use_block_contexts: int = 0
+    enable_bipred: int = 0
+
+    @classmethod
+    def from_config_file(cls, path: str, **overrides):
+        """Parse a reference -cf config file (enc/strings.c:64-123):
+        `-flag value ; comment` lines."""
+        p = cls()
+        with open(path) as f:
+            for line in f:
+                line = line.split(";")[0].strip()
+                if not line:
+                    continue
+                toks = line.split()
+                if len(toks) < 2 or not toks[0].startswith("-"):
+                    continue
+                name = toks[0][1:]
+                if not hasattr(p, name):
+                    continue
+                cur = getattr(p, name)
+                setattr(p, name, type(cur)(float(toks[1]))
+                        if isinstance(cur, int) else type(cur)(toks[1]))
+        for k, v in overrides.items():
+            setattr(p, k, v)
+        return p
+
+
+class RefFrame:
+    """Padded reference (create_reference_frame,
+    common/common_frame.c:464-483)."""
+
+    PAD_Y = 96
+    PAD_C = 48
+
+    def __init__(self, y, u, v, frame_num):
+        self.frame_num = frame_num
+        self.y = K.pad_plane(y, self.PAD_Y)
+        self.u = K.pad_plane(u, self.PAD_C)
+        self.v = K.pad_plane(v, self.PAD_C)
+
+
+class Encoder:
+    """Top-level encoder (the mainenc.c driver)."""
+
+    def __init__(self, params: EncoderParams):
+        self.params = params
+        self.width = params.width
+        self.height = params.height
+        p = params
+        # Frame-level state
+        self.frame_type = I_FRAME
+        self.frame_qp = p.qp
+        self.frame_num = 0
+        self.num_ref = 0
+        self.ref_array: List[int] = []
+        self.interp_ref = 0
+        self.b_level = 0
+        self.num_intra_modes = MAX_NUM_INTRA_MODES
+        self.lambda_ = 1.0
+        self.max_delta_qp = p.max_delta_qp
+        self.enable_bipred = p.enable_bipred
+        self.final_encode = False
+
+        self.refs: List[Optional[RefFrame]] = [None] * MAX_REF_FRAMES
+        self.interp_frame: Optional[RefFrame] = None
+        self.deblock_data = DeblockData(self.width, self.height)
+
+        H, W = self.height, self.width
+        self.rec_y = np.zeros((H, W), np.uint8)
+        self.rec_u = np.zeros((H // 2, W // 2), np.uint8)
+        self.rec_v = np.zeros((H // 2, W // 2), np.uint8)
+        self.org_y = None
+        self.org_u = None
+        self.org_v = None
+
+    # --- hooks used by block.py (inter implemented in inter.py) ---
+
+    def save_region(self, binfo):
+        y0, x0, s = binfo.ypos, binfo.xpos, binfo.size
+        yc, xc, sc = y0 // 2, x0 // 2, s // 2
+        bh, bw = binfo.bheight, binfo.bwidth
+        return (self.rec_y[y0:y0+bh, x0:x0+bw].copy(),
+                self.rec_u[yc:yc+(bh+1)//2, xc:xc+(bw+1)//2].copy(),
+                self.rec_v[yc:yc+(bh+1)//2, xc:xc+(bw+1)//2].copy())
+
+    def restore_region(self, binfo, region):
+        y0, x0 = binfo.ypos, binfo.xpos
+        yc, xc = y0 // 2, x0 // 2
+        bh, bw = binfo.bheight, binfo.bwidth
+        self.rec_y[y0:y0+bh, x0:x0+bw] = region[0]
+        self.rec_u[yc:yc+(bh+1)//2, xc:xc+(bw+1)//2] = region[1]
+        self.rec_v[yc:yc+(bh+1)//2, xc:xc+(bw+1)//2] = region[2]
+
+    def store_deblock_data(self, binfo):
+        """copy_deblock_data (enc/encode_block.c) on final encode."""
+        bp = binfo.block_param
+        pb_part_stored = bp.pb_part if bp.mode == 2 else 0
+        cbp = bp.cbp
+        cbp_flat = (1 if cbp[0] else 0, 1 if cbp[1] else 0,
+                    1 if cbp[2] else 0)
+        self.deblock_data.store_block(
+            binfo.ypos, binfo.xpos, binfo.bwidth, binfo.bheight, binfo.size,
+            bp.mode, cbp_flat, bp.tb_split, pb_part_stored,
+            bp.mv_arr0, bp.mv_arr1, bp.ref_idx0, bp.ref_idx1, bp.dir)
+
+    def encode_inter_block(self, w, binfo, bp, qpY, qpC):
+        raise NotImplementedError("inter coding arrives with enc/inter.py")
+
+    def inter_mode_decision(self, w, binfo, tmp, min_cost, region):
+        raise NotImplementedError
+
+    def check_do_intra(self, binfo, min_cost):
+        return True
+
+    def search_early_skip(self, w, binfo):
+        raise NotImplementedError
+
+    # --- frame level ---
+
+    def encode_frame(self, w: BitWriter):
+        """enc/encode_frame.c:65-194."""
+        p = self.params
+        self.deblock_data.reset()
+
+        if self.frame_type == I_FRAME:
+            lambda_coeff = p.lambda_coeffI
+        elif self.frame_type == P_FRAME:
+            lambda_coeff = p.lambda_coeffP
+        else:
+            lambda_coeff = [p.lambda_coeffB0, p.lambda_coeffB1,
+                            p.lambda_coeffB2, p.lambda_coeffB3,
+                            ][self.b_level] if self.b_level < 4 else p.lambda_coeffB
+        self.lambda_ = lambda_coeff * SQUARED_LAMBDA_QP[self.frame_qp]
+
+        w.putbits(1, int(self.frame_type != I_FRAME))
+        w.putbits(8, self.frame_qp)
+        w.putbits(4, self.num_intra_modes)
+        if self.frame_type != I_FRAME:
+            w.putbits(2, self.num_ref - 1)
+        for r in self.ref_array:
+            w.putbits(6, r + 1)
+        w.putbits(16, self.frame_num)
+
+        num_sb_hor = (self.width + MAX_BLOCK_SIZE - 1) // MAX_BLOCK_SIZE
+        num_sb_ver = (self.height + MAX_BLOCK_SIZE - 1) // MAX_BLOCK_SIZE
+        for k in range(num_sb_ver):
+            for l in range(num_sb_hor):
+                self.reset_sb_state()
+                ypos, xpos = k * MAX_BLOCK_SIZE, l * MAX_BLOCK_SIZE
+                if p.max_delta_qp:
+                    pos = w.save()
+                    min_cost, best_qp = 1 << 30, self.frame_qp
+                    for qp0 in range(self.frame_qp - p.max_delta_qp,
+                                     self.frame_qp + p.max_delta_qp + 1,
+                                     p.delta_qp_step):
+                        cost = process_block(self, w, MAX_BLOCK_SIZE,
+                                             ypos, xpos, qp0)
+                        if cost < min_cost:
+                            min_cost, best_qp = cost, qp0
+                    w.restore(pos)
+                    process_block(self, w, MAX_BLOCK_SIZE, ypos, xpos,
+                                  best_qp)
+                else:
+                    process_block(self, w, MAX_BLOCK_SIZE, ypos, xpos,
+                                  self.frame_qp)
+
+        if p.deblocking:
+            qp = self.frame_qp
+            K.deblock_frame_y(self.rec_y, self.deblock_data, self.width,
+                              self.height, qp, BETA_TABLE, TC_TABLE)
+            K.deblock_frame_uv(self.rec_u, self.rec_v, self.deblock_data,
+                               self.width, self.height,
+                               int(CHROMA_QP[qp]), TC_TABLE)
+
+        if p.clpf:
+            w.putbits(1, 1)
+            w.putbits(1, 0)     # sb_signal: per-SB decision bits follow
+            self._clpf_frame(w)
+
+        # Sliding-window reference update
+        self.refs = [RefFrame(self.rec_y.copy(), self.rec_u.copy(),
+                              self.rec_v.copy(), self.frame_num)] \
+            + self.refs[:-1]
+
+    def reset_sb_state(self):
+        """Per-SB ME candidate reset (enc/encode_frame.c:117-122)."""
+        self.mvcand = {}
+        self.best_ref = -1
+
+    def _clpf_frame(self, w: BitWriter):
+        """clpf_frame with encoder decision callback
+        (common/common_frame.c:485-557, clpf_decision
+        enc/encode_frame.c:50-61, detect_clpf enc/encode_block.c:3036)."""
+        dd = self.deblock_data
+        H, W = self.height, self.width
+        for k in range(H // MAX_BLOCK_SIZE):
+            for l in range(W // MAX_BLOCK_SIZE):
+                cand = False
+                for m in range(8):
+                    for n in range(8):
+                        gy = (k * 64 + m * 8) // 4
+                        gx = (l * 64 + n * 8) // 4
+                        if dd.mode[gy, gx] != MODE_BIPRED and (
+                                dd.cbp_y[gy, gx] or dd.cbp_u[gy, gx]
+                                or dd.cbp_v[gy, gx]):
+                            cand = True
+                if not cand:
+                    continue
+                sum0, sum1 = self._detect_clpf_sb(k, l)
+                bit = 1 if sum1 < sum0 else 0
+                w.putbits(1, bit)
+                if not bit:
+                    continue
+                ytmp = self.rec_y[k*64:(k+1)*64, l*64:(l+1)*64].copy()
+                utmp = self.rec_u[k*32:(k+1)*32, l*32:(l+1)*32].copy()
+                vtmp = self.rec_v[k*32:(k+1)*32, l*32:(l+1)*32].copy()
+                for m in range(8):
+                    for n in range(8):
+                        xpos, ypos = l * 64 + n * 8, k * 64 + m * 8
+                        gy, gx = ypos // 4, xpos // 4
+                        if dd.mode[gy, gx] == MODE_BIPRED:
+                            continue
+                        if dd.cbp_y[gy, gx]:
+                            ytmp[m*8:(m+1)*8, n*8:(n+1)*8] = K.clpf_block(
+                                self.rec_y, xpos, ypos, 8, 64, W, H)
+                        if dd.cbp_u[gy, gx]:
+                            utmp[m*4:(m+1)*4, n*4:(n+1)*4] = K.clpf_block(
+                                self.rec_u, xpos//2, ypos//2, 4, 32,
+                                W//2, H//2)
+                        if dd.cbp_v[gy, gx]:
+                            vtmp[m*4:(m+1)*4, n*4:(n+1)*4] = K.clpf_block(
+                                self.rec_v, xpos//2, ypos//2, 4, 32,
+                                W//2, H//2)
+                self.rec_y[k*64:(k+1)*64, l*64:(l+1)*64] = ytmp
+                self.rec_u[k*32:(k+1)*32, l*32:(l+1)*32] = utmp
+                self.rec_v[k*32:(k+1)*32, l*32:(l+1)*32] = vtmp
+
+    def _detect_clpf_sb(self, k, l):
+        """Luma SSD with/without CLPF over candidate 8x8 blocks."""
+        dd = self.deblock_data
+        H, W = self.height, self.width
+        sum0 = sum1 = 0
+        for m in range(8):
+            for n in range(8):
+                xpos, ypos = l * 64 + n * 8, k * 64 + m * 8
+                gy, gx = ypos // 4, xpos // 4
+                if dd.cbp_y[gy, gx] and dd.mode[gy, gx] != MODE_BIPRED:
+                    X = self.rec_y[ypos:ypos+8, xpos:xpos+8].astype(np.int64)
+                    O = self.org_y[ypos:ypos+8, xpos:xpos+8].astype(np.int64)
+                    F = K.clpf_block(self.rec_y, xpos, ypos, 8, 64, W, H
+                                     ).astype(np.int64)
+                    sum0 += int(((O - X) ** 2).sum())
+                    sum1 += int(((O - F) ** 2).sum())
+        return sum0, sum1
+
+    # --- sequence level ---
+
+    def encode_sequence(self, frames, out_path: str):
+        """Low-delay sequence loop (num_reorder_pics == 0 path of
+        enc/mainenc.c:214-604). frames: iterable of (y, u, v) planes.
+        Returns list of per-frame reconstructed (y, u, v)."""
+        p = self.params
+        w = BitWriter()
+        out = open(out_path, "wb")
+        recons = []
+
+        # Sequence header (enc/mainenc.c:195-212)
+        w.putbits(16, self.width)
+        w.putbits(16, self.height)
+        w.putbits(1, p.enable_pb_split)
+        w.putbits(1, p.enable_tb_split)
+        w.putbits(2, p.max_num_ref - 1)
+        w.putbits(1, p.interp_ref)
+        w.putbits(3, p.max_delta_qp)
+        w.putbits(1, p.deblocking)
+        w.putbits(1, p.clpf)
+        w.putbits(1, p.use_block_contexts)
+        w.putbits(1, p.enable_bipred)
+
+        num_encoded = 0
+        last_PorI = -1
+        for frame_num, (y, u, v) in enumerate(frames):
+            self.frame_num = frame_num
+            if p.intra_period > 0:
+                self.frame_type = I_FRAME if num_encoded % p.intra_period == 0 \
+                    else P_FRAME
+            else:
+                self.frame_type = I_FRAME if num_encoded == 0 else P_FRAME
+
+            if self.frame_type == I_FRAME:
+                self.frame_qp = p.qp + p.dqpI
+            else:
+                if num_encoded % p.HQperiod:
+                    self.frame_qp = int(np.float32(p.mqpP)
+                                        * np.float32(p.qp)) + p.dqpP
+                else:
+                    self.frame_qp = p.qp
+            self.frame_qp = max(0, min(51, self.frame_qp))
+
+            self.num_ref = 0 if self.frame_type == I_FRAME \
+                else min(num_encoded, p.max_num_ref)
+            self.interp_ref = 0
+            self.ref_array = self._ldb_ref_list(num_encoded, last_PorI)
+
+            if (self.params.intra_rdo == 0
+                    or (self.frame_type != I_FRAME
+                        and self.params.encoder_speed > 0)):
+                self.num_intra_modes = 4
+            else:
+                self.num_intra_modes = MAX_NUM_INTRA_MODES
+
+            self.org_y, self.org_u, self.org_v = y, u, v
+            self.encode_frame(w)
+            out.write(w.flush_frame())
+            recons.append((self.rec_y.copy(), self.rec_u.copy(),
+                           self.rec_v.copy()))
+            num_encoded += 1
+            last_PorI = 0
+        out.close()
+        return recons
+
+    def _ldb_ref_list(self, num_encoded, last_PorI):
+        """Sliding-window reference list for low delay
+        (enc/mainenc.c:423-454)."""
+        p = self.params
+        n = self.num_ref
+        if n == 0:
+            return []
+        ref = [0] * n
+        ref[0] = 0 if last_PorI < 0 else last_PorI
+        if n == 2:
+            ref[1] = ((num_encoded + p.HQperiod - 2) % p.HQperiod) + 1
+        elif n == 3:
+            r1 = ((num_encoded + p.HQperiod - 2) % p.HQperiod) + 1
+            r2 = 2 if r1 == 1 else 1
+            ref[1], ref[2] = r1, r2
+        elif n == 4:
+            r1 = ((num_encoded + p.HQperiod - 2) % p.HQperiod) + 1
+            r2 = 2 if r1 == 1 else 1
+            r3 = r2 + 1
+            if r3 == r1:
+                r3 += 1
+            ref[1], ref[2], ref[3] = r1, r2, r3
+        elif n > 4:
+            for r in range(1, n):
+                ref[r] = r
+        # Remove duplicates (enc/mainenc.c:457-470)
+        out = []
+        for r in ref:
+            if r not in out:
+                out.append(r)
+        self.num_ref = len(out)
+        return out
+
+
+def read_yuv_frames(path, width, height, num_frames, skip=0):
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    fsz = ysz + 2 * csz
+    with open(path, "rb") as f:
+        f.seek(skip * fsz)
+        for _ in range(num_frames):
+            buf = f.read(fsz)
+            if len(buf) < fsz:
+                return
+            y = np.frombuffer(buf, np.uint8, ysz).reshape(height, width)
+            u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(
+                height // 2, width // 2)
+            v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(
+                height // 2, width // 2)
+            yield y.copy(), u.copy(), v.copy()
+
+
+def encode_file(config_path, in_path, out_path, width, height, num_frames,
+                **overrides):
+    params = EncoderParams.from_config_file(
+        config_path, width=width, height=height, num_frames=num_frames,
+        **overrides)
+    enc = Encoder(params)
+    frames = read_yuv_frames(in_path, width, height, num_frames,
+                             params.skip)
+    recons = enc.encode_sequence(frames, out_path)
+    return recons
