@@ -16,8 +16,9 @@ import numpy as np
 
 from ..bitstream.writer import BitWriter
 from ..codec.constants import (
-    CHROMA_QP, I_FRAME, MAX_BLOCK_SIZE, MIN_BLOCK_SIZE, MODE_DC, MODE_HOR,
-    MODE_INTRA, MODE_PLANAR, MODE_SKIP, MODE_VER)
+    CHROMA_QP, I_FRAME, MAX_BLOCK_SIZE, MIN_BLOCK_SIZE, MODE_BIPRED,
+    MODE_DC, MODE_HOR, MODE_INTER, MODE_INTRA, MODE_MERGE, MODE_PLANAR,
+    MODE_SKIP, MODE_VER)
 from ..codec.blockdata import (
     find_block_contexts, get_downleft_available, get_upright_available,
     get_mv_merge, get_mv_pred, get_mv_skip)
@@ -88,12 +89,14 @@ def sad_block(a, b):
 
 def cost_calc(enc, binfo, nbits):
     """SSD(Y)+SSD(U)+SSD(V) + lambda*bits (enc/encode_block.c:1218-1228),
-    computed over the trial region of the rec planes vs the original."""
-    y0, x0, s = binfo.ypos, binfo.xpos, binfo.size
-    yc, xc, sc = y0 // 2, x0 // 2, s // 2
-    ssd = (ssd_block(enc.org_y[y0:y0+s, x0:x0+s], enc.rec_y[y0:y0+s, x0:x0+s])
-           + ssd_block(enc.org_u[yc:yc+sc, xc:xc+sc], enc.rec_u[yc:yc+sc, xc:xc+sc])
-           + ssd_block(enc.org_v[yc:yc+sc, xc:xc+sc], enc.rec_v[yc:yc+sc, xc:xc+sc]))
+    computed over the trial region of the rec planes vs the original
+    (bwidth x bheight; equal to size x size except rectangular skips)."""
+    y0, x0 = binfo.ypos, binfo.xpos
+    bw, bh = binfo.bwidth, binfo.bheight
+    yc, xc, wc, hc = y0 // 2, x0 // 2, bw // 2, bh // 2
+    ssd = (ssd_block(enc.org_y[y0:y0+bh, x0:x0+bw], enc.rec_y[y0:y0+bh, x0:x0+bw])
+           + ssd_block(enc.org_u[yc:yc+hc, xc:xc+wc], enc.rec_u[yc:yc+hc, xc:xc+wc])
+           + ssd_block(enc.org_v[yc:yc+hc, xc:xc+wc], enc.rec_v[yc:yc+hc, xc:xc+wc]))
     cost = ssd + int(enc.lambda_ * nbits + 0.5)
     return min(cost, 1 << 30)
 
@@ -207,20 +210,117 @@ def mode_decision_rdo(enc, w: BitWriter, binfo: BlockInfo):
     """RDO over modes (enc/encode_block.c:2204-2479). Trials append to
     the stream (bits counted inside write_block) and everything is
     rewound at the end, exactly like the reference."""
+    import math
+
     size = binfo.size
     stream_pos_ref = w.save()
     min_cost = (1 << 32) - 1
     tmp = BlockParam()
     region = enc.save_region(binfo)
+    p = enc.params
+    do_intra = True
+    do_inter = True
+    intra_inter_sad = p.encoder_speed > 0 and not p.sync
+    sad_intra = (1 << 32) - 1
 
     if enc.frame_type != I_FRAME:
-        min_cost = enc.inter_mode_decision(w, binfo, tmp, min_cost, region)
+        # --- SKIP candidates (enc/encode_block.c:2254-2279) ---
+        tmp.tb_param = 0
+        tmp.pb_part = 0
+        for skip_idx, c in enumerate(binfo.skip_candidates):
+            tmp.skip_idx = skip_idx
+            tmp.ref_idx0, tmp.ref_idx1 = c.ref_idx0, c.ref_idx1
+            tmp.mv_arr0 = [(c.mv0x, c.mv0y)] * 4
+            tmp.mv_arr1 = [(c.mv1x, c.mv1y)] * 4
+            tmp.dir = c.bipred_flag
+            tmp.mode = MODE_SKIP
+            nbits = encode_block(enc, w, binfo, tmp)
+            cost = cost_calc(enc, binfo, nbits)
+            if cost < min_cost:
+                min_cost = cost
+                binfo.block_param = _copy_param(tmp)
 
     rectangular = (binfo.bwidth != size or binfo.bheight != size)
-    if not rectangular:
-        do_intra = True
+    if not rectangular and size <= 64:
         if enc.frame_type != I_FRAME:
-            do_intra = enc.check_do_intra(binfo, min_cost)
+            # --- MERGE candidates (enc/encode_block.c:2287-2304) ---
+            tmp.tb_param = 0
+            for merge_idx, c in enumerate(binfo.merge_candidates):
+                tmp.skip_idx = merge_idx
+                tmp.ref_idx0, tmp.ref_idx1 = c.ref_idx0, c.ref_idx1
+                tmp.mv_arr0 = [(c.mv0x, c.mv0y)] * 4
+                tmp.mv_arr1 = [(c.mv1x, c.mv1y)] * 4
+                tmp.dir = c.bipred_flag
+                tmp.mode = MODE_MERGE
+                nbits = encode_block(enc, w, binfo, tmp)
+                cost = cost_calc(enc, binfo, nbits)
+                if cost < min_cost:
+                    min_cost = cost
+                    binfo.block_param = _copy_param(tmp)
+
+            if intra_inter_sad:
+                intra_mode_sad, sad_intra = search_intra_mode_sad(
+                    enc, binfo, enc.num_intra_modes)
+                sad_intra += int(math.sqrt(enc.lambda_) * 2 + 0.5)
+
+            # --- INTER per reference (enc/encode_block.c:2312-2373) ---
+            from .inter import (add_mvcandidate,
+                                search_inter_prediction_params)
+            if (enc.best_ref < 0 or p.encoder_speed < 2
+                    or p.enable_bipred or p.sync):
+                min_idx, max_idx = 0, enc.num_ref - 1
+            else:
+                min_idx = max_idx = enc.best_ref
+            lambda_me = math.sqrt(enc.lambda_)
+            worst_cost, best_cost = 0, (1 << 32) - 1
+            org = enc.org_y[binfo.ypos:binfo.ypos + size,
+                            binfo.xpos:binfo.xpos + size]
+            for ref_idx in range(min_idx, max_idx + 1):
+                ref = enc.get_ref(ref_idx)
+                tmp.ref_idx0 = tmp.ref_idx1 = ref_idx
+                mvp = binfo.mvp
+                lst, mask = enc.mvcand.setdefault(ref_idx, ([], 0))
+                mask = add_mvcandidate(mvp, lst, mask)
+                sign = 1 if ref.frame_num >= enc.frame_num else 0
+                mv_center = mvp
+                sad_inter = (1 << 32) - 1
+                mv_parts = {}
+                for part in range(binfo.max_num_pb_part):
+                    sad, mv_arr = search_inter_prediction_params(
+                        org, ref.y, binfo, mv_center, mvp, part,
+                        lambda_me, p, sign, enc.width, enc.height, lst,
+                        mask, p.enable_bipred)
+                    for mv in mv_arr:
+                        mask = add_mvcandidate(mv, lst, mask)
+                    mv_parts[part] = mv_arr
+                    mv_center = mv_parts[0][0]
+                    sad_inter = min(sad_inter, sad)
+                enc.mvcand[ref_idx] = (lst, mask)
+                if intra_inter_sad:
+                    do_inter = sad_inter < sad_intra
+                    if sad_inter < sad_intra:
+                        do_intra = False
+                if do_inter:
+                    min_tb = -1 if p.encoder_speed < 1 else 0
+                    max_tb = binfo.max_num_tb_part - 1
+                    tmp.mode = MODE_INTER
+                    tmp.dir = 0
+                    for part in range(binfo.max_num_pb_part):
+                        tmp.pb_part = part
+                        tmp.mv_arr0 = list(mv_parts[part])
+                        tmp.mv_arr1 = list(mv_parts[part])
+                        for tb_param in range(min_tb, max_tb + 1):
+                            tmp.tb_param = tb_param
+                            nbits = encode_block(enc, w, binfo, tmp)
+                            cost = cost_calc(enc, binfo, nbits)
+                            worst_cost = max(worst_cost, cost)
+                            best_cost = min(best_cost, cost)
+                            if cost < min_cost:
+                                min_cost = cost
+                                binfo.block_param = _copy_param(tmp)
+            if worst_cost and worst_cost * 3 > best_cost * 4:
+                enc.best_ref = 0
+
         if do_intra:
             max_tb_param = binfo.max_num_tb_part - 1
             if enc.params.intra_rdo:
@@ -256,12 +356,24 @@ def mode_decision_rdo(enc, w: BitWriter, binfo: BlockInfo):
 
 
 def _copy_param(bp: BlockParam) -> BlockParam:
+    """Mirror of copy_best_parameters (enc/encode_block.c:1983-2045)
+    including its per-mode side-info normalization (INTRA stores dir=-1,
+    zero MVs, ref 0; INTER dir=0; BIPRED dir=2)."""
     out = BlockParam(
         mode=bp.mode, intra_mode=bp.intra_mode, tb_param=bp.tb_param,
         tb_split=bp.tb_split, pb_part=bp.pb_part, skip_idx=bp.skip_idx,
         ref_idx0=bp.ref_idx0, ref_idx1=bp.ref_idx1, dir=bp.dir,
         mv_arr0=tuple(bp.mv_arr0), mv_arr1=tuple(bp.mv_arr1),
-        cbp=tuple(bp.cbp))
+        cbp=tuple(bp.cbp) if isinstance(bp.cbp, tuple) else bp.cbp)
+    if bp.mode == MODE_INTRA:
+        out.ref_idx0 = out.ref_idx1 = 0
+        out.mv_arr0 = ((0, 0),) * 4
+        out.mv_arr1 = ((0, 0),) * 4
+        out.dir = -1
+    elif bp.mode == MODE_INTER:
+        out.dir = 0
+    elif bp.mode == MODE_BIPRED:
+        out.dir = 2
     out.coeff_y = None if bp.coeff_y is None else bp.coeff_y.copy()
     out.coeff_u = None if bp.coeff_u is None else bp.coeff_u.copy()
     out.coeff_v = None if bp.coeff_v is None else bp.coeff_v.copy()
@@ -306,8 +418,9 @@ def process_block(enc, w: BitWriter, size, ypos, xpos, qp):
         binfo.merge_candidates = get_mv_merge(
             ypos, xpos, width, height, size, enc.deblock_data)
         binfo.num_merge_vec = len(binfo.merge_candidates)
-        binfo.mvp = get_mv_pred(ypos, xpos, width, height, size,
-                                enc.deblock_data)
+        if binfo.bwidth == size and binfo.bheight == size:
+            binfo.mvp = get_mv_pred(ypos, xpos, width, height, size,
+                                    enc.deblock_data)
 
     if encode_this_size and frame_type != I_FRAME and p.early_skip_thr > 0.0:
         early_skip_flag = enc.search_early_skip(w, binfo)
@@ -336,7 +449,6 @@ def process_block(enc, w: BitWriter, size, ypos, xpos, qp):
                                     xpos + new_size, qp)
 
     if encode_this_size:
-        region = enc.save_region(binfo)
         cost = mode_decision_rdo(enc, w, binfo)
 
         me_threshold = size * size * IQ_8X8[qp] // 8
@@ -351,13 +463,16 @@ def process_block(enc, w: BitWriter, size, ypos, xpos, qp):
                                         xpos + new_size, qp)
 
         if cost <= cost_small:
+            # Children's reconstruction (bottom-up or top-down trial) is
+            # simply overwritten by the final encode; when the children
+            # win, their recon and deblock data stay in place (the
+            # reference keeps rec_block local to each level, so nothing
+            # needs undoing there).
             w.restore(stream_pos_ref)
             enc.final_encode = True
             encode_block(enc, w, binfo, binfo.block_param)
             enc.final_encode = False
             enc.store_deblock_data(binfo)
-        else:
-            enc.restore_region(binfo, region)
     elif encode_rectangular_size:
         cost = mode_decision_rdo(enc, w, binfo)
         if cost <= cost_small:

@@ -15,7 +15,8 @@ import numpy as np
 from ..bitstream.writer import BitWriter
 from ..codec.constants import (
     BETA_TABLE, CHROMA_QP, I_FRAME, B_FRAME, P_FRAME, MAX_BLOCK_SIZE,
-    MAX_NUM_INTRA_MODES, MAX_REF_FRAMES, MODE_BIPRED, TC_TABLE)
+    MAX_NUM_INTRA_MODES, MAX_REF_FRAMES, MODE_BIPRED, MODE_INTER,
+    MODE_MERGE, MODE_SKIP, TC_TABLE)
 from ..codec.blockdata import DeblockData
 from ..ops import np_kernels as K
 from .block import BlockParam, process_block
@@ -103,6 +104,14 @@ class EncoderParams:
                         if isinstance(cur, int) else type(cur)(toks[1]))
         for k, v in overrides.items():
             setattr(p, k, v)
+        # The reference stores ARG_FLOAT params as C float (32-bit,
+        # enc/mainenc.h:48-71); round-trip through float32 so products
+        # like lambda_coeffP * squared_lambda_QP match bit for bit.
+        for f in ("frame_rate", "lambda_coeffI", "lambda_coeffP",
+                  "lambda_coeffB", "lambda_coeffB0", "lambda_coeffB1",
+                  "lambda_coeffB2", "lambda_coeffB3", "early_skip_thr",
+                  "mqpP", "mqpB", "mqpB0", "mqpB1", "mqpB2", "mqpB3"):
+            setattr(p, f, float(np.float32(getattr(p, f))))
         return p
 
 
@@ -184,17 +193,292 @@ class Encoder:
             bp.mode, cbp_flat, bp.tb_split, pb_part_stored,
             bp.mv_arr0, bp.mv_arr1, bp.ref_idx0, bp.ref_idx1, bp.dir)
 
+    def get_ref(self, ref_idx):
+        r = self.ref_array[ref_idx]
+        return self.refs[r] if r >= 0 else self.interp_frame
+
+    def _pred_yuv(self, ref, binfo, mv_arr, sign, split):
+        """get_inter_prediction_yuv (enc/encode_block.c:1534-1567):
+        per-PB MC with MV clipping; returns (py, pu, pv) covering
+        bwidth x bheight."""
+        from .inter import clip_mv
+        div = split + 1
+        bw, bh = binfo.bwidth // div, binfo.bheight // div
+        size = binfo.size
+        ypos, xpos = binfo.ypos, binfo.xpos
+        py = np.empty((binfo.bheight, binfo.bwidth), np.uint8)
+        pu = np.empty((binfo.bheight // 2, binfo.bwidth // 2), np.uint8)
+        pv = np.empty_like(pu)
+        eb = self.enable_bipred
+        for index in range(div * div):
+            idx, idy = index & 1, (index >> 1) & 1
+            mvx, mvy = clip_mv(mv_arr[index][0], mv_arr[index][1], ypos,
+                               xpos, self.width, self.height, size, sign)
+            oy, ox = ypos + idy * bh, xpos + idx * bw
+            py[idy*bh:(idy+1)*bh, idx*bw:(idx+1)*bw] = K.mc_luma(
+                ref.y, RefFrame.PAD_Y + oy, RefFrame.PAD_Y + ox, bh, bw,
+                mvx, mvy, sign, eb)
+            oyc, oxc = ypos // 2 + idy * bh // 2, xpos // 2 + idx * bw // 2
+            pu[idy*bh//2:(idy+1)*bh//2, idx*bw//2:(idx+1)*bw//2] = \
+                K.mc_chroma(ref.u, RefFrame.PAD_C + oyc,
+                            RefFrame.PAD_C + oxc, bh // 2, bw // 2,
+                            mvx, mvy, sign)
+            pv[idy*bh//2:(idy+1)*bh//2, idx*bw//2:(idx+1)*bw//2] = \
+                K.mc_chroma(ref.v, RefFrame.PAD_C + oyc,
+                            RefFrame.PAD_C + oxc, bh // 2, bw // 2,
+                            mvx, mvy, sign)
+        return py, pu, pv
+
+    @staticmethod
+    def _avg_pred(p0, p1):
+        return tuple(((a.astype(np.int32) + b) >> 1).astype(np.uint8)
+                     for a, b in zip(p0, p1))
+
+    def _inter_residual_plane(self, org, pred, size, qp, coeff_type,
+                              tb_split, plane_is_luma):
+        """encode_and_reconstruct_block_inter for one plane
+        (enc/encode_block.c:1469-1532). Returns (cbp, coeffq, rec)."""
+        from .quant import quantize
+        p = self.params
+        resid = org.astype(np.int16) - pred.astype(np.int16)
+        coeffq = np.zeros((size, size), np.int16)
+        if tb_split:
+            s2 = size // 2
+            cbp = 0
+            rblock = np.zeros((size, size), np.int16)
+            for i in (0, s2):
+                for j in (0, s2):
+                    fast = size == 64 or p.encoder_speed > 1
+                    coeff = K.transform_fwd(
+                        np.ascontiguousarray(resid[i:i+s2, j:j+s2]), s2,
+                        fast)
+                    cbpbit, cq = quantize(coeff, qp, s2, coeff_type,
+                                          p.rdoq)
+                    if cbpbit:
+                        rblock[i:i+s2, j:j+s2] = K.inverse_transform(
+                            K.dequantize(cq, qp), s2)
+                    coeffq[i:i+s2, j:j+s2] = cq
+                    cbp = (cbp << 1) + cbpbit
+            rec = K.reconstruct_block(rblock, pred)
+            return cbp, coeffq, rec
+        fast = (size == 64 and p.encoder_speed > 0) or p.encoder_speed > 1
+        coeff = K.transform_fwd(resid, size, fast)
+        cbp, coeffq = quantize(coeff, qp, size, coeff_type, p.rdoq)
+        if cbp:
+            rec = K.reconstruct_block(
+                K.inverse_transform(K.dequantize(coeffq, qp), size), pred)
+        else:
+            rec = pred.copy()
+        return cbp, coeffq, rec
+
     def encode_inter_block(self, w, binfo, bp, qpY, qpC):
-        raise NotImplementedError("inter coding arrives with enc/inter.py")
+        """Pixel path of encode_block for non-intra modes
+        (enc/encode_block.c:1688-1790). Writes recon into the frame rec
+        planes; sets bp.cbp / coefficient planes."""
+        mode = bp.mode
+        ypos, xpos = binfo.ypos, binfo.xpos
+        bw, bh = binfo.bwidth, binfo.bheight
+        yc, xc = ypos // 2, xpos // 2
+        split = self.params.enable_pb_split if mode in (MODE_INTER,
+                                                        MODE_BIPRED) else 0
 
-    def inter_mode_decision(self, w, binfo, tmp, min_cost, region):
-        raise NotImplementedError
+        if mode == MODE_SKIP or mode == MODE_MERGE:
+            if bp.dir == 2:
+                ref0 = self.get_ref(bp.ref_idx0)
+                ref1 = self.get_ref(bp.ref_idx1)
+                s0 = 1 if ref0.frame_num >= self.frame_num else 0
+                s1 = 1 if ref1.frame_num >= self.frame_num else 0
+                pred = self._avg_pred(
+                    self._pred_yuv(ref0, binfo, bp.mv_arr0, s0, 0),
+                    self._pred_yuv(ref1, binfo, bp.mv_arr1, s1, 0))
+            else:
+                ref0 = self.get_ref(bp.ref_idx0)
+                s0 = 1 if ref0.frame_num > self.frame_num else 0
+                pred = self._pred_yuv(ref0, binfo, bp.mv_arr0, s0, 0)
+        elif mode == MODE_INTER:
+            ref0 = self.get_ref(bp.ref_idx0)
+            s0 = 1 if ref0.frame_num > self.frame_num else 0
+            pred = self._pred_yuv(ref0, binfo, bp.mv_arr0, s0, split)
+        else:  # MODE_BIPRED
+            ref0 = self.get_ref(bp.ref_idx0)
+            ref1 = self.get_ref(bp.ref_idx1)
+            s0 = 1 if ref0.frame_num >= self.frame_num else 0
+            s1 = 1 if ref1.frame_num >= self.frame_num else 0
+            pred = self._avg_pred(
+                self._pred_yuv(ref0, binfo, bp.mv_arr0, s0, split),
+                self._pred_yuv(ref1, binfo, bp.mv_arr1, s1, split))
 
-    def check_do_intra(self, binfo, min_cost):
-        return True
+        if mode == MODE_SKIP:
+            bp.cbp = (0, 0, 0)
+            self.rec_y[ypos:ypos+bh, xpos:xpos+bw] = pred[0]
+            self.rec_u[yc:yc+bh//2, xc:xc+bw//2] = pred[1]
+            self.rec_v[yc:yc+bh//2, xc:xc+bw//2] = pred[2]
+            return
+
+        size = binfo.size
+        sc = size // 2
+        zero_block = bp.tb_param == -1
+        if zero_block:
+            bp.cbp = (0, 0, 0)
+            recs = pred
+        else:
+            it = (1 if self.frame_type == I_FRAME else 0) << 1
+            tb = bp.tb_split
+            cy, bp.coeff_y, ry = self._inter_residual_plane(
+                self.org_y[ypos:ypos+size, xpos:xpos+size], pred[0],
+                size, qpY, it | 0, tb, True)
+            cu, bp.coeff_u, ru = self._inter_residual_plane(
+                self.org_u[yc:yc+sc, xc:xc+sc], pred[1], sc, qpC,
+                it | 1, tb and size > 8, False)
+            cv, bp.coeff_v, rv = self._inter_residual_plane(
+                self.org_v[yc:yc+sc, xc:xc+sc], pred[2], sc, qpC,
+                it | 1, tb and size > 8, False)
+            bp.cbp = (cy, cu, cv)
+            recs = (ry, ru, rv)
+        self.rec_y[ypos:ypos+size, xpos:xpos+size] = recs[0]
+        self.rec_u[yc:yc+sc, xc:xc+sc] = recs[1]
+        self.rec_v[yc:yc+sc, xc:xc+sc] = recs[2]
+
+    # --- early skip (enc/encode_block.c:2481-2783) ---
+
+    def _early_skip_threshold(self, size):
+        """float32 semantics throughout: early_skip_threshold is a C
+        float, including after the 1.3x scaling for 64-blocks
+        (enc/encode_block.c:2635-2636)."""
+        thr = float(np.float32(self.params.early_skip_thr))
+        if self.params.encoder_speed > 1 and size == MAX_BLOCK_SIZE:
+            thr = float(np.float32(1.3 * thr))
+        return thr
+
+    def _check_sub_luma(self, org, pred, size, qp, thr):
+        """check_early_skip_sub_block (enc/encode_block.c:2505-2538)."""
+        from ..codec.constants import GQUANT_TABLE, log2i
+        resid = org.astype(np.int32) - pred.astype(np.int32)
+        if size > 4:
+            s2 = size // 2
+            tmp = ((resid.reshape(s2, 2, s2, 2).transpose(0, 2, 1, 3)
+                    .reshape(s2, s2, 4).sum(axis=2) + 2) >> 2) \
+                .astype(np.int16)
+            coeff = K.transform_fwd(tmp, s2, False)
+            tsize, rel = s2, 0.5 * thr
+        else:
+            coeff = K.transform_fwd(resid.astype(np.int16), size, False)
+            tsize, rel = size, thr
+        shift2 = 21 - log2i(tsize) + qp // 6
+        first_level = float(1 << shift2) / float(GQUANT_TABLE[qp % 6])
+        threshold = int(rel * first_level)
+        return bool((np.abs(coeff[:tsize, :tsize]) > threshold).any())
+
+    def _check_sub_chroma(self, org, pred, size, qp, thr):
+        """check_early_skip_sub_blockC (enc/encode_block.c:2540-2611):
+        column-sum significance (SIMD-path semantics: per-column sums for
+        size 8, col-pair sums of the first 4 rows/cols otherwise)."""
+        from ..codec.constants import GQUANT_TABLE
+        shift2 = 21 - 5 + qp // 6
+        threshold = int(thr * (float(1 << shift2)
+                               / float(GQUANT_TABLE[qp % 6])))
+        resid = org.astype(np.int32) - pred.astype(np.int32)
+        if size == 8:
+            colsum = resid.sum(axis=0)
+            return bool((colsum > threshold).any())
+        c = resid[:4, :4].sum(axis=0)
+        return bool(c[0] + c[1] > threshold or c[2] + c[3] > threshold)
+
+    def _check_early_skip_block(self, binfo, bp):
+        """check_early_skip_block (enc/encode_block.c:2613-2745).
+        Returns True if the candidate is insignificant (skippable)."""
+        from .inter import clip_mv
+        size = binfo.size
+        ypos, xpos = binfo.ypos, binfo.xpos
+        size0 = min(size, 32)  # EARLY_SKIP_BLOCK_SIZE
+        qpY = self.frame_qp + binfo.delta_qp
+        qpC = int(CHROMA_QP[qpY])
+        thr = self._early_skip_threshold(size)
+        eb = self.enable_bipred
+        PY, PC = RefFrame.PAD_Y, RefFrame.PAD_C
+        significant = False
+
+        if bp.dir == 2:
+            ref0 = self.get_ref(bp.ref_idx0)
+            ref1 = self.get_ref(bp.ref_idx1)
+            s0 = 1 if ref0.frame_num >= self.frame_num else 0
+            s1 = 1 if ref1.frame_num >= self.frame_num else 0
+            for i in range(0, size, size0):
+                for j in range(0, size, size0):
+                    mv0 = clip_mv(bp.mv_arr0[0][0], bp.mv_arr0[0][1],
+                                  ypos, xpos, self.width, self.height,
+                                  size0, s0)
+                    mv1 = clip_mv(bp.mv_arr1[0][0], bp.mv_arr1[0][1],
+                                  ypos, xpos, self.width, self.height,
+                                  size0, s1)
+                    p0 = K.mc_luma(ref0.y, PY+ypos+i, PY+xpos+j, size0,
+                                   size0, mv0[0], mv0[1], s0, eb)
+                    p1 = K.mc_luma(ref1.y, PY+ypos+i, PY+xpos+j, size0,
+                                   size0, mv1[0], mv1[1], s1, eb)
+                    pb = ((p0.astype(np.int32) + p1) >> 1).astype(np.uint8)
+                    o = self.org_y[ypos+i:ypos+i+size0, xpos+j:xpos+j+size0]
+                    significant = significant or self._check_sub_luma(
+                        o, pb, size0, qpY, thr)
+                    # chroma uses the unclipped MVs (reference quirk)
+                    for (plane, orgp) in ((0, self.org_u), (1, self.org_v)):
+                        r0 = ref0.u if plane == 0 else ref0.v
+                        r1 = ref1.u if plane == 0 else ref1.v
+                        c0 = K.mc_chroma(r0, PC+(ypos+i)//2, PC+(xpos+j)//2,
+                                         size0//2, size0//2,
+                                         bp.mv_arr0[0][0], bp.mv_arr0[0][1],
+                                         s0)
+                        c1 = K.mc_chroma(r1, PC+(ypos+i)//2, PC+(xpos+j)//2,
+                                         size0//2, size0//2,
+                                         bp.mv_arr1[0][0], bp.mv_arr1[0][1],
+                                         s1)
+                        cb = ((c0.astype(np.int32) + c1) >> 1).astype(np.uint8)
+                        oc = orgp[(ypos+i)//2:(ypos+i)//2+size0//2,
+                                  (xpos+j)//2:(xpos+j)//2+size0//2]
+                        significant = significant or self._check_sub_chroma(
+                            oc, cb, size0//2, qpC, thr)
+        else:
+            ref = self.get_ref(bp.ref_idx0)
+            sign = 1 if ref.frame_num > self.frame_num else 0
+            mvx, mvy = bp.mv_arr0[0]
+            for i in range(0, size, size0):
+                for j in range(0, size, size0):
+                    mvx, mvy = clip_mv(mvx, mvy, ypos, xpos, self.width,
+                                       self.height, size0, sign)
+                    pb = K.mc_luma(ref.y, PY+ypos+i, PY+xpos+j, size0,
+                                   size0, mvx, mvy, sign, eb)
+                    o = self.org_y[ypos+i:ypos+i+size0, xpos+j:xpos+j+size0]
+                    significant = significant or self._check_sub_luma(
+                        o, pb, size0, qpY, thr)
+                    for (orgp, rp) in ((self.org_u, ref.u),
+                                       (self.org_v, ref.v)):
+                        cb = K.mc_chroma(rp, PC+(ypos+i)//2, PC+(xpos+j)//2,
+                                         size0//2, size0//2, mvx, mvy, sign)
+                        oc = orgp[(ypos+i)//2:(ypos+i)//2+size0//2,
+                                  (xpos+j)//2:(xpos+j)//2+size0//2]
+                        significant = significant or self._check_sub_chroma(
+                            oc, cb, size0//2, qpC, thr)
+        return not significant
 
     def search_early_skip(self, w, binfo):
-        raise NotImplementedError
+        """search_early_skip_candidates (enc/encode_block.c:2747-2783)."""
+        from .block import BlockParam, _copy_param, cost_calc, encode_block
+        min_cost = (1 << 32) - 1
+        early_skip_flag = 0
+        for skip_idx, c in enumerate(binfo.skip_candidates):
+            tmp = BlockParam(
+                tb_param=0, skip_idx=skip_idx, ref_idx0=c.ref_idx0,
+                ref_idx1=c.ref_idx1, dir=c.bipred_flag,
+                mv_arr0=[(c.mv0x, c.mv0y)] * 4,
+                mv_arr1=[(c.mv1x, c.mv1y)] * 4)
+            if self._check_early_skip_block(binfo, tmp):
+                early_skip_flag = 1
+                tmp.mode = MODE_SKIP
+                nbit = encode_block(self, w, binfo, tmp)
+                cost = cost_calc(self, binfo, nbit)
+                if cost < min_cost:
+                    min_cost = cost
+                    binfo.block_param = _copy_param(tmp)
+        return early_skip_flag
 
     # --- frame level ---
 
@@ -360,6 +644,7 @@ class Encoder:
 
         num_encoded = 0
         last_PorI = -1
+        self.last_intra_frame_num = 0
         for frame_num, (y, u, v) in enumerate(frames):
             self.frame_num = frame_num
             if p.intra_period > 0:
@@ -378,10 +663,19 @@ class Encoder:
                     self.frame_qp = p.qp
             self.frame_qp = max(0, min(51, self.frame_qp))
 
+            if self.frame_type == I_FRAME:
+                self.last_intra_frame_num = frame_num
             self.num_ref = 0 if self.frame_type == I_FRAME \
                 else min(num_encoded, p.max_num_ref)
             self.interp_ref = 0
             self.ref_array = self._ldb_ref_list(num_encoded, last_PorI)
+            # Remove references breaking random access (mainenc.c:472-486)
+            if self.frame_num > self.last_intra_frame_num:
+                self.ref_array = [
+                    r for r in self.ref_array
+                    if r < 0 or self.refs[r].frame_num
+                    >= self.last_intra_frame_num]
+                self.num_ref = len(self.ref_array)
 
             if (self.params.intra_rdo == 0
                     or (self.frame_type != I_FRAME

@@ -1,0 +1,82 @@
+"""Multi-chip parallel decomposition of Thor frame processing.
+
+The reference is single-threaded C (SURVEY.md §2.5); the parallel
+structure here is introduced TPU-first per BASELINE.json's north star:
+
+- 'gop' mesh axis: frames/GOPs are data-parallel (the codec's DP/PP
+  hybrid - each frame's pixel program is independent given its parsed
+  parameter planes and reference frames).
+- 'tile' mesh axis: rows within a frame are spatial/sequence-parallel.
+  Reference planes are replicated across 'tile' (the "reference-plane
+  all-gather": a reconstructed frame becomes a reference for every tile
+  of the next frame); per-pixel parameter planes, residual planes and
+  outputs are row-sharded. Cross-row dependencies (6-tap MC reach,
+  deblock filter reach, CLPF 64-block locality) are expressed as plain
+  shifted tensor ops, so the XLA SPMD partitioner inserts the halo
+  collective-permutes over ICI - exactly the "annotate shardings, let
+  XLA insert collectives" recipe.
+
+The serial stages (host VLC parse per frame, intra TU scan) stay
+per-frame work on the 'gop' axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dec.reconstruct_jax import FrameConfig, _frame_fn
+
+
+def make_decode_mesh(devices=None, gop: int = 0, tile: int = 0) -> Mesh:
+    """Mesh over ('gop', 'tile'). Default: split devices 2 x N/2."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if not gop:
+        gop = 2 if n % 2 == 0 and n > 1 else 1
+        tile = n // gop
+    return Mesh(devices.reshape(gop, tile), ("gop", "tile"))
+
+
+def _batched_frame_fn(cfg: FrameConfig, binp):
+    """vmap of the per-frame reconstruction over a leading batch axis."""
+    return jax.vmap(partial(_frame_fn, cfg))(binp)
+
+
+def _input_specs(cfg: FrameConfig, binp):
+    """PartitionSpecs: batch axis -> 'gop'; frame row dims -> 'tile' for
+    per-pixel/cell planes; references + TU batches replicated in 'tile'."""
+    specs = {}
+    row_sharded = {"mv0x", "mv0y", "mv1x", "mv1y", "slot0", "slot1",
+                   "use_bi", "m8y", "m8u", "m8v"}
+    for k, v in binp.items():
+        if k == "dd":
+            specs[k] = {kk: P("gop", "tile", None) for kk in v}
+        elif isinstance(v, dict):
+            specs[k] = {kk: P("gop") for kk in v}
+        elif k in row_sharded:
+            specs[k] = P("gop", "tile", None)
+        elif k in ("refY", "refU", "refV"):
+            specs[k] = P("gop", None, None, None)
+        else:
+            specs[k] = P("gop")
+    return specs
+
+
+def sharded_reconstruct(mesh: Mesh, cfg: FrameConfig, binp):
+    """Jit the batched frame reconstruction over the mesh with real
+    gop x tile shardings; returns device arrays (y, u, v) sharded
+    [batch -> 'gop', rows -> 'tile']."""
+    in_specs = _input_specs(cfg, binp)
+    in_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), in_specs,
+        is_leaf=lambda x: isinstance(x, P))
+    out_shardings = NamedSharding(mesh, P("gop", "tile", None))
+    fn = jax.jit(partial(_batched_frame_fn, cfg),
+                 in_shardings=(in_shardings,),
+                 out_shardings=(out_shardings,) * 3)
+    return fn(binp)
