@@ -1,0 +1,68 @@
+"""Thordec-equivalent CLI (dec/maindec.c:91-345).
+
+Usage: python -m thor_tpu.dec str.bit out.yuv [--backend numpy|jax]
+Prints per-sequence mode/size statistics like the reference's
+bit_count_t report (dec/maindec.c:197-329).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from collections import Counter
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    backend = "numpy"
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--backend":
+            backend = argv[i + 1]
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
+    if len(args) < 2:
+        print("usage: python -m thor_tpu.dec str.bit out.yuv "
+              "[--backend numpy|jax]", file=sys.stderr)
+        return 1
+
+    from .decoder import Decoder
+    from ..codec.constants import (
+        MODE_SKIP, MODE_INTRA, MODE_INTER, MODE_BIPRED, MODE_MERGE)
+
+    dec = Decoder(backend=backend, collect_stats=True)
+    nframes = 0
+    t0 = time.time()
+    with open(args[1], "wb") as out:
+        for (y, u, v) in dec.decode_stream(args[0]):
+            out.write(y.tobytes() + u.tobytes() + v.tobytes())
+            nframes += 1
+    dt = time.time() - t0
+
+    print(f"decoded {nframes} frames in {dt:.2f}s "
+          f"({nframes/dt:.2f} frames/s, backend={backend})")
+    st = dec.stats
+    mode_names = {MODE_SKIP: "skip", MODE_INTRA: "intra",
+                  MODE_INTER: "inter", MODE_BIPRED: "bipred",
+                  MODE_MERGE: "merge"}
+    print("\nFrame types:   ",
+          "  ".join(f"{k}:{v}" for k, v in sorted(st["frame_type"].items())))
+    print("Bits by type:  ",
+          "  ".join(f"{k}:{v}" for k, v in sorted(st["frame_bits"].items())))
+    for ft in ("I", "P", "B"):
+        modes = {mode_names[m]: c for (f, m), c in st["mode"].items()
+                 if f == ft}
+        sizes = {s: c for (f, s), c in st["size"].items() if f == ft}
+        if modes:
+            print(f"{ft}-frame modes: ",
+                  "  ".join(f"{k}:{v}" for k, v in sorted(modes.items())))
+            print(f"{ft}-frame sizes: ",
+                  "  ".join(f"{k}:{v}" for k, v in sorted(sizes.items())))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

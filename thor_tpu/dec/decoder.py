@@ -18,12 +18,15 @@ from .reconstruct_np import RefFrame, apply_clpf, reconstruct_frame
 
 
 class Decoder:
-    def __init__(self, backend: str = "numpy"):
+    def __init__(self, backend: str = "numpy", collect_stats: bool = False):
         self.backend = backend
         self.seq: Optional[SequenceHeader] = None
         self.refs: List[Optional[RefFrame]] = [None] * MAX_REF_FRAMES
         self.interp_frame: Optional[RefFrame] = None
         self._jax_ctx = None
+        # Lightweight bit_count_t analogue (dec/maindec.c:197-329)
+        self.stats = ({"frame_type": {}, "mode": {}, "size": {},
+                       "frame_bits": {}} if collect_stats else None)
 
     def decode_stream(self, path: str):
         """Yield (y, u, v) frames in display order."""
@@ -64,6 +67,17 @@ class Decoder:
         ref_frame_nums = [r.frame_num for r in self.refs]
         parser = FrameParser(seq, br, ref_frame_nums)
         fs = parser.parse()
+
+        if self.stats is not None:
+            ft = {0: "I", 1: "P", 2: "B"}[fs.stat_frame_type]
+            st = self.stats
+            st["frame_type"][ft] = st["frame_type"].get(ft, 0) + 1
+            st["frame_bits"][ft] = st["frame_bits"].get(ft, 0) + br.nbits
+            for b in fs.blocks:
+                key = (ft, b.mode)
+                st["mode"][key] = st["mode"].get(key, 0) + 1
+                skey = (ft, b.size)
+                st["size"][skey] = st["size"].get(skey, 0) + 1
 
         if fs.interp_ref_frame:
             self._make_interp_frame(fs)

@@ -1,0 +1,114 @@
+"""Thorenc-equivalent CLI (enc/mainenc.c:73-660, enc/strings.c).
+
+Usage mirrors the reference:
+    python -m thor_tpu.enc -cf config.txt -if in.yuv -of out.bit \
+        [-rf rec.yuv] [-width W -height H -n N -qp QP ...]
+
+Flag precedence: defaults -> config file(s) -> command line
+(enc/strings.c:340-356).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .encoder import Encoder, EncoderParams, read_yuv_frames
+from ..utils.snr import snr_yuv
+
+
+def parse_args(argv):
+    params = EncoderParams()
+    files = {"if": None, "of": None, "rf": None, "stat": None}
+    # config files first, in order (recursive -cf like the reference)
+    i = 0
+    args = list(argv)
+    while i < len(args):
+        if args[i] == "-cf":
+            cfg = EncoderParams.from_config_file(args[i + 1])
+            for f_ in cfg.__dataclass_fields__:
+                setattr(params, f_, getattr(cfg, f_))
+            i += 2
+        else:
+            i += 1
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "-cf":
+            i += 2
+            continue
+        name = a[1:]
+        if name in files:
+            files[name] = args[i + 1]
+            i += 2
+        elif hasattr(params, name):
+            cur = getattr(params, name)
+            val = args[i + 1]
+            setattr(params, name, type(cur)(float(val))
+                    if isinstance(cur, int) else type(cur)(val))
+            i += 2
+        else:
+            print(f"Unknown parameter: {a}", file=sys.stderr)
+            i += 1
+    # float32 semantics (see EncoderParams.from_config_file)
+    for f_ in ("frame_rate", "lambda_coeffI", "lambda_coeffP",
+               "lambda_coeffB", "lambda_coeffB0", "lambda_coeffB1",
+               "lambda_coeffB2", "lambda_coeffB3", "early_skip_thr",
+               "mqpP", "mqpB", "mqpB0", "mqpB1", "mqpB2", "mqpB3"):
+        setattr(params, f_, float(np.float32(getattr(params, f_))))
+    return params, files
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    params, files = parse_args(argv)
+    if not files["if"] or not files["of"]:
+        print("need -if <input.yuv> and -of <output.bit>", file=sys.stderr)
+        return 1
+
+    enc = Encoder(params)
+    frames = list(read_yuv_frames(files["if"], params.width, params.height))
+    t0 = time.time()
+    recons = enc.encode_sequence(frames, files["of"])
+    dt = time.time() - t0
+
+    if files["rf"]:
+        with open(files["rf"], "wb") as f:
+            for (y, u, v) in recons:
+                f.write(y.tobytes() + u.tobytes() + v.tobytes())
+
+    import os
+    nbits = os.path.getsize(files["of"]) * 8
+    n = len(recons)
+    kbps = 0.001 * params.frame_rate * nbits / max(n, 1)
+    acc = [0.0, 0.0, 0.0]
+    if params.snrcalc:
+        for i, rec in enumerate(recons):
+            p = snr_yuv(frames[params.skip + i], rec)
+            for k in range(3):
+                acc[k] += p[k]
+    print("------------------- Average data for all frames "
+          "------------------------------")
+    print(f"kbps            : {kbps:12.3f}")
+    print(f"PSNR Y          : {acc[0]/max(n,1):12.3f}")
+    print(f"PSNR U          : {acc[1]/max(n,1):12.3f}")
+    print(f"PSNR V          : {acc[2]/max(n,1):12.3f}")
+    print(f"frames/s encode : {n/dt:12.3f}")
+    print("---------------------------------------------------------"
+          "---------------------")
+    if files["stat"]:
+        import os.path as osp
+        new = not osp.exists(files["stat"])
+        with open(files["stat"], "a") as f:
+            if new:
+                f.write(" NFR     kbps     PSNRY  PSNRU  PSNRV\n")
+            f.write(f"{params.num_frames:4d} {kbps:12.3f} "
+                    f"{acc[0]/max(n,1):6.3f} {acc[1]/max(n,1):6.3f} "
+                    f"{acc[2]/max(n,1):6.3f}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

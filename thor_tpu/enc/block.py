@@ -16,7 +16,7 @@ import numpy as np
 
 from ..bitstream.writer import BitWriter
 from ..codec.constants import (
-    CHROMA_QP, I_FRAME, MAX_BLOCK_SIZE, MIN_BLOCK_SIZE, MODE_BIPRED,
+    B_FRAME, CHROMA_QP, I_FRAME, MAX_BLOCK_SIZE, MIN_BLOCK_SIZE, MODE_BIPRED,
     MODE_DC, MODE_HOR, MODE_INTER, MODE_INTRA, MODE_MERGE, MODE_PLANAR,
     MODE_SKIP, MODE_VER)
 from ..codec.blockdata import (
@@ -275,6 +275,7 @@ def mode_decision_rdo(enc, w: BitWriter, binfo: BlockInfo):
             worst_cost, best_cost = 0, (1 << 32) - 1
             org = enc.org_y[binfo.ypos:binfo.ypos + size,
                             binfo.xpos:binfo.xpos + size]
+            mv_center_map = {}
             for ref_idx in range(min_idx, max_idx + 1):
                 ref = enc.get_ref(ref_idx)
                 tmp.ref_idx0 = tmp.ref_idx1 = ref_idx
@@ -295,6 +296,7 @@ def mode_decision_rdo(enc, w: BitWriter, binfo: BlockInfo):
                     mv_parts[part] = mv_arr
                     mv_center = mv_parts[0][0]
                     sad_inter = min(sad_inter, sad)
+                mv_center_map[ref_idx] = mv_center
                 enc.mvcand[ref_idx] = (lst, mask)
                 if intra_inter_sad:
                     do_inter = sad_inter < sad_intra
@@ -320,6 +322,42 @@ def mode_decision_rdo(enc, w: BitWriter, binfo: BlockInfo):
                                 binfo.block_param = _copy_param(tmp)
             if worst_cost and worst_cost * 3 > best_cost * 4:
                 enc.best_ref = 0
+
+            # --- BIPRED (enc/encode_block.c:2379-2427) ---
+            if enc.num_ref > 1 and p.enable_bipred and do_inter:
+                for part in range(1):  # BIPRED_PART=0: single partition
+                    (r0, r1, a0, a1) = _search_bipred(
+                        enc, binfo, part, mv_center_map, binfo.mvp)
+                    tmp.pb_part = part
+                    tmp.ref_idx0, tmp.ref_idx1 = r0, r1
+                    tmp.mv_arr0 = list(a0)
+                    tmp.mv_arr1 = list(a1)
+                    tmp.mode = MODE_BIPRED
+                    tmp.dir = 2
+                    for tb_param in range(0, 1):
+                        tmp.tb_param = tb_param
+                        nbits = encode_block(enc, w, binfo, tmp)
+                        cost = cost_calc(enc, binfo, nbits)
+                        if cost < min_cost:
+                            min_cost = cost
+                            binfo.block_param = _copy_param(tmp)
+                if (enc.frame_type == B_FRAME
+                        and p.encoder_speed == 0):
+                    (r0, r1, a0, a1) = _search_bipred(
+                        enc, binfo, 0, mv_center_map, binfo.mvp,
+                        me_mode=1)
+                    tmp.pb_part = 0
+                    tmp.ref_idx0, tmp.ref_idx1 = r0, r1
+                    tmp.mv_arr0 = list(a0)
+                    tmp.mv_arr1 = list(a1)
+                    tmp.tb_param = 0
+                    tmp.mode = MODE_BIPRED
+                    tmp.dir = 2
+                    nbits = encode_block(enc, w, binfo, tmp)
+                    cost = cost_calc(enc, binfo, nbits)
+                    if cost < min_cost:
+                        min_cost = cost
+                        binfo.block_param = _copy_param(tmp)
 
         if do_intra:
             max_tb_param = binfo.max_num_tb_part - 1
@@ -353,6 +391,81 @@ def mode_decision_rdo(enc, w: BitWriter, binfo: BlockInfo):
     enc.restore_region(binfo, region)
     w.restore(stream_pos_ref)
     return min_cost
+
+
+def _search_bipred(enc, binfo, part, mv_center_map, mvp, me_mode=0):
+    """search_bipred_prediction_params (enc/encode_block.c:2047-2203):
+    me_mode=1 is the symmetric mv0=-mv1 joint search; otherwise an
+    iterative per-list unipred search against the doubled residual
+    target org8 = clip255(2*org - other_list_pred)."""
+    import math
+    from .inter import (add_mvcandidate, motion_estimate_bi,
+                        search_inter_prediction_params)
+    p = enc.params
+    size = binfo.size
+    ypos, xpos = binfo.ypos, binfo.xpos
+    lambda_me = math.sqrt(enc.lambda_)
+    org_y = enc.org_y[ypos:ypos + size, xpos:xpos + size]
+
+    if me_mode:
+        r_idx0 = 1 if enc.interp_ref else 0
+        r_idx1 = 2 if enc.interp_ref else 1
+        ref0 = enc.get_ref(r_idx0)
+        ref1 = enc.get_ref(r_idx1)
+        lst, mask = enc.mvcand.setdefault(r_idx0, ([], 0))
+        _, mv = motion_estimate_bi(
+            org_y, ref0.y, ref1.y, size, size, size,
+            mv_center_map.get(r_idx0, mvp), mvp, lambda_me, p, 0,
+            enc.width, enc.height, xpos, ypos, lst, 2)
+        return r_idx0, r_idx1, [mv] * 4, [mv] * 4
+
+    ref_idx = 1 if (enc.frame_type == B_FRAME and enc.interp_ref == 1) \
+        else 0
+    min_ref0, min_ref1 = ref_idx, 0
+    min_arr0 = [tuple(mvp)] * 4
+    min_arr1 = [tuple(mvp)] * 4
+    min_sad = 1 << 30
+    num_iter = 2 if p.encoder_speed == 0 else 1
+
+    for _n in range(num_iter):
+        stop = 0 if part == 0 else 1
+        for list_ in range(1, stop - 1, -1):
+            mv = (min_arr0 if list_ else min_arr1)[0]
+            other_idx = min_ref0 if list_ else min_ref1
+            ref = enc.get_ref(other_idx)
+            sign = 1 if ref.frame_num > enc.frame_num else 0
+            py, _pu, _pv = enc._pred_yuv(
+                ref, binfo, min_arr0 if list_ else min_arr1, sign, 1)
+            org8 = np.clip(2 * org_y.astype(np.int16)
+                           - py.astype(np.int16), 0, 255).astype(np.uint8)
+
+            if enc.frame_type == 1:  # P_FRAME
+                ref_start, ref_end = 0, enc.num_ref - 1
+            else:
+                ref_start = ref_end = \
+                    (1 if list_ else 0) + (1 if enc.interp_ref else 0)
+            for ref_idx in range(ref_start, ref_end + 1):
+                ref = enc.get_ref(ref_idx)
+                sign = 1 if ref.frame_num > enc.frame_num else 0
+                mvp2 = mv if (enc.frame_type == B_FRAME and list_ == 1) \
+                    else mvp
+                mvc = mv_center_map.get(ref_idx, mvp)
+                lst, mask = enc.mvcand.setdefault(ref_idx, ([], 0))
+                sad, mv_all = search_inter_prediction_params(
+                    org8, ref.y, binfo, mvc, mvp2, part, lambda_me, p,
+                    sign, enc.width, enc.height, lst, mask, 1)
+                for m in mv_all:
+                    mask = add_mvcandidate(m, lst, mask)
+                enc.mvcand[ref_idx] = (lst, mask)
+                if sad < min_sad:
+                    min_sad = sad
+                    if list_:
+                        min_ref1 = ref_idx
+                        min_arr1 = list(mv_all)
+                    else:
+                        min_ref0 = ref_idx
+                        min_arr0 = list(mv_all)
+    return min_ref0, min_ref1, min_arr0, min_arr1
 
 
 def _copy_param(bp: BlockParam) -> BlockParam:

@@ -15,7 +15,8 @@ import numpy as np
 from ..bitstream.writer import BitWriter
 from ..codec.constants import (
     BETA_TABLE, CHROMA_QP, I_FRAME, B_FRAME, P_FRAME, MAX_BLOCK_SIZE,
-    MAX_NUM_INTRA_MODES, MAX_REF_FRAMES, MODE_BIPRED, MODE_INTER,
+    MAX_NUM_INTRA_MODES, MAX_REF_FRAMES, MAX_REORDER_BUFFER,
+    MODE_BIPRED, MODE_INTER,
     MODE_MERGE, MODE_SKIP, TC_TABLE)
 from ..codec.blockdata import DeblockData
 from ..ops import np_kernels as K
@@ -621,13 +622,20 @@ class Encoder:
     # --- sequence level ---
 
     def encode_sequence(self, frames, out_path: str):
-        """Low-delay sequence loop (num_reorder_pics == 0 path of
-        enc/mainenc.c:214-604). frames: iterable of (y, u, v) planes.
-        Returns list of per-frame reconstructed (y, u, v)."""
+        """Full sequence loop (enc/mainenc.c:214-604): sub-GOP reorder
+        (dyadic or sequential), frame typing, QP cascade, reference-list
+        construction (LDB sliding window / dyadic RA / non-dyadic HDB
+        incl. interpolated-reference insertion), duplicate and
+        random-access pruning, end-of-sequence PPP degradation, and
+        display-order reconstruction output.
+
+        frames: full input clip as a list of (y, u, v) (display order).
+        Returns reconstructed frames in display order."""
         p = self.params
+        frames = list(frames)
+        input_total = len(frames)
         w = BitWriter()
         out = open(out_path, "wb")
-        recons = []
 
         # Sequence header (enc/mainenc.c:195-212)
         w.putbits(16, self.width)
@@ -642,98 +650,279 @@ class Encoder:
         w.putbits(1, p.use_block_contexts)
         w.putbits(1, p.enable_bipred)
 
+        sub_gop = max(1, p.num_reorder_pics + 1)
+        min_interp_depth = _log2i(p.num_reorder_pics + 1) - 2
+        if p.frame_rate > 30:
+            min_interp_depth -= 1
+
         num_encoded = 0
         last_PorI = -1
         self.last_intra_frame_num = 0
-        for frame_num, (y, u, v) in enumerate(frames):
-            self.frame_num = frame_num
+        rec_avail = {}
+        last_output = -1
+        display = []
+
+        frame_num0 = p.skip
+        while (frame_num0 < p.skip + p.num_frames
+               and frame_num0 + 1 <= input_total):
+            for k in range(sub_gop):
+                offset = _reorder_frame_offset(k, sub_gop, p.dyadic_coding)
+                frame_num = frame_num0 + offset
+                if frame_num < p.skip:
+                    continue
+                self.frame_num = frame_num - p.skip
+                self._setup_frame(num_encoded, sub_gop, min_interp_depth,
+                                  last_PorI)
+                self.org_y, self.org_u, self.org_v = frames[frame_num]
+                self.encode_frame(w)
+                out.write(w.flush_frame())
+                num_encoded += 1
+                rec_avail[self.frame_num % MAX_REORDER_BUFFER] = (
+                    self.rec_y.copy(), self.rec_u.copy(),
+                    self.rec_v.copy())
+                nxt = (last_output + 1) % MAX_REORDER_BUFFER
+                if nxt in rec_avail:
+                    last_output += 1
+                    display.append(rec_avail.pop(nxt))
+                last_PorI = 0 if self.frame_type != B_FRAME \
+                    else last_PorI + 1
+            # Revert to PPP when the sub-GOP no longer fits
+            # (enc/mainenc.c:586-590)
+            if ((frame_num0 + sub_gop + 1 > input_total
+                 or frame_num0 + sub_gop >= p.skip + p.num_frames)
+                    and sub_gop >= 2):
+                p.HQperiod = sub_gop
+                sub_gop = 1
+                p.num_reorder_pics = 0
+            frame_num0 += sub_gop
+        out.close()
+        for i in range(1, MAX_REORDER_BUFFER + 1):
+            nxt = (last_output + i) % MAX_REORDER_BUFFER
+            if nxt in rec_avail:
+                display.append(rec_avail.pop(nxt))
+            else:
+                break
+        return display
+
+    def _setup_frame(self, num_encoded, sub_gop, min_interp_depth,
+                     last_PorI):
+        """Frame type, QP cascade and reference-list construction
+        (enc/mainenc.c:236-495)."""
+        p = self.params
+        fn = self.frame_num
+        if p.num_reorder_pics == 0:
             if p.intra_period > 0:
-                self.frame_type = I_FRAME if num_encoded % p.intra_period == 0 \
+                ftype = I_FRAME if num_encoded % p.intra_period == 0 \
                     else P_FRAME
             else:
-                self.frame_type = I_FRAME if num_encoded == 0 else P_FRAME
-
-            if self.frame_type == I_FRAME:
-                self.frame_qp = p.qp + p.dqpI
+                ftype = I_FRAME if num_encoded == 0 else P_FRAME
+        else:
+            if p.intra_period > 0:
+                ftype = I_FRAME if fn % p.intra_period == 0 else (
+                    P_FRAME if fn % sub_gop == 0 else B_FRAME)
             else:
-                if num_encoded % p.HQperiod:
-                    self.frame_qp = int(np.float32(p.mqpP)
-                                        * np.float32(p.qp)) + p.dqpP
+                ftype = I_FRAME if fn == 0 else (
+                    P_FRAME if fn % sub_gop == 0 else B_FRAME)
+        self.frame_type = ftype
+
+        coded_phase = (num_encoded + sub_gop - 2) % sub_gop + 1
+        b_level = _log2i(coded_phase)
+        self.b_level = b_level
+
+        f32 = np.float32
+        if ftype == I_FRAME:
+            qp = p.qp + p.dqpI
+            self.last_intra_frame_num = fn
+        elif p.num_reorder_pics == 0:
+            qp = (int(f32(p.mqpP) * f32(p.qp)) + p.dqpP
+                  if num_encoded % p.HQperiod else p.qp)
+        else:
+            if fn % sub_gop:
+                if p.dyadic_coding:
+                    mqp, dqp = [(p.mqpB0, p.dqpB0), (p.mqpB1, p.dqpB1),
+                                (p.mqpB2, p.dqpB2), (p.mqpB3, p.dqpB3),
+                                ][b_level] if b_level < 4 \
+                        else (p.mqpB, p.dqpB)
+                    qp = int(f32(mqp) * f32(p.qp)) + dqp
                 else:
-                    self.frame_qp = p.qp
-            self.frame_qp = max(0, min(51, self.frame_qp))
-
-            if self.frame_type == I_FRAME:
-                self.last_intra_frame_num = frame_num
-            self.num_ref = 0 if self.frame_type == I_FRAME \
-                else min(num_encoded, p.max_num_ref)
-            self.interp_ref = 0
-            self.ref_array = self._ldb_ref_list(num_encoded, last_PorI)
-            # Remove references breaking random access (mainenc.c:472-486)
-            if self.frame_num > self.last_intra_frame_num:
-                self.ref_array = [
-                    r for r in self.ref_array
-                    if r < 0 or self.refs[r].frame_num
-                    >= self.last_intra_frame_num]
-                self.num_ref = len(self.ref_array)
-
-            if (self.params.intra_rdo == 0
-                    or (self.frame_type != I_FRAME
-                        and self.params.encoder_speed > 0)):
-                self.num_intra_modes = 4
+                    qp = int(f32(p.mqpB) * f32(p.qp)) + p.dqpB
             else:
-                self.num_intra_modes = MAX_NUM_INTRA_MODES
+                qp = (int(f32(p.mqpP) * f32(p.qp)) + p.dqpP
+                      if fn % p.HQperiod else p.qp)
+        self.frame_qp = max(0, min(51, qp))
 
-            self.org_y, self.org_u, self.org_v = y, u, v
-            self.encode_frame(w)
-            out.write(w.flush_frame())
-            recons.append((self.rec_y.copy(), self.rec_u.copy(),
-                           self.rec_v.copy()))
-            num_encoded += 1
-            last_PorI = 0
-        out.close()
-        return recons
-
-    def _ldb_ref_list(self, num_encoded, last_PorI):
-        """Sliding-window reference list for low delay
-        (enc/mainenc.c:423-454)."""
-        p = self.params
+        self.num_ref = 0 if ftype == I_FRAME \
+            else min(num_encoded, p.max_num_ref)
+        self.interp_ref = 0
+        self.interp_frame = None
         n = self.num_ref
-        if n == 0:
-            return []
         ref = [0] * n
-        ref[0] = 0 if last_PorI < 0 else last_PorI
-        if n == 2:
-            ref[1] = ((num_encoded + p.HQperiod - 2) % p.HQperiod) + 1
-        elif n == 3:
-            r1 = ((num_encoded + p.HQperiod - 2) % p.HQperiod) + 1
-            r2 = 2 if r1 == 1 else 1
-            ref[1], ref[2] = r1, r2
-        elif n == 4:
-            r1 = ((num_encoded + p.HQperiod - 2) % p.HQperiod) + 1
-            r2 = 2 if r1 == 1 else 1
-            r3 = r2 + 1
-            if r3 == r1:
-                r3 += 1
-            ref[1], ref[2], ref[3] = r1, r2, r3
-        elif n > 4:
-            for r in range(1, n):
-                ref[r] = r
+        if n > 0:
+            if p.num_reorder_pics > 0:
+                lg = _log2i(sub_gop)
+                if p.dyadic_coding:
+                    if (num_encoded - 1) % sub_gop == 0:
+                        ref[0] = 0 if num_encoded == 1 else sub_gop - 1
+                        if n > 1:
+                            ref[1] = min(MAX_REF_FRAMES - 1,
+                                         min(num_encoded - 1,
+                                             2 * sub_gop - 1))
+                        for r in range(2, n):
+                            ref[r] = r - 2
+                    else:
+                        display_phase = (fn - 1) % sub_gop
+                        ref_offset = sub_gop >> (b_level + 1)
+                        dc = _DYADIC_DC[sub_gop]
+                        if b_level >= min_interp_depth and p.interp_ref:
+                            if n == 2:
+                                n += 1
+                                ref.append(0)
+                                self.num_ref = n
+                            self.interp_ref = 1
+                            ref[1] = min(num_encoded - 1, coded_phase
+                                         - dc[display_phase - ref_offset
+                                              + 1] - 1)
+                            ref[2] = min(num_encoded - 1, coded_phase
+                                         - dc[display_phase + ref_offset
+                                              + 1] - 1)
+                            ref[0] = -1
+                            self._synth_interp(ref[1], ref[2], 2, 1)
+                            for r in range(3, n):
+                                ref[r] = r - 3
+                        else:
+                            ref[0] = min(num_encoded - 1, coded_phase
+                                         - dc[display_phase - ref_offset
+                                              + 1] - 1)
+                            if n > 1:
+                                ref[1] = min(num_encoded - 1, coded_phase
+                                             - dc[display_phase
+                                                  + ref_offset + 1] - 1)
+                            for r in range(2, n):
+                                ref[r] = r - 2
+                else:
+                    if (num_encoded - 1) % sub_gop == 0:
+                        ref[0] = 0 if num_encoded == 1 else sub_gop - 1
+                        if n > 1:
+                            ref[1] = min(MAX_REF_FRAMES - 1,
+                                         min(num_encoded - 1,
+                                             2 * sub_gop - 1))
+                        for r in range(2, n):
+                            ref[r] = r - 1
+                    else:
+                        phase = (num_encoded + sub_gop - 2) % sub_gop
+                        if p.interp_ref:
+                            if n == 2:
+                                n += 1
+                                ref.append(0)
+                                self.num_ref = n
+                            self.interp_ref = 1
+                            ref[1] = 0
+                            if n > 1:
+                                ref[2] = (min(sub_gop, num_encoded - 1)
+                                          if phase == 0
+                                          else min(phase, num_encoded - 1))
+                            ref[0] = -1
+                            self._synth_interp(
+                                ref[1], ref[2], sub_gop - phase,
+                                1 if phase != 0 else sub_gop - phase - 1)
+                            if n > 2:
+                                ref[3] = min(phase + sub_gop if phase
+                                             else 2 * sub_gop,
+                                             num_encoded - 1)
+                            for r in range(4, n):
+                                ref[r] = r - 4 + 1
+                        else:
+                            ref[0] = 0
+                            if n > 1:
+                                ref[1] = (min(sub_gop, num_encoded - 1)
+                                          if phase == 0
+                                          else min(phase, num_encoded - 1))
+                            if n > 2:
+                                ref[2] = min(phase + sub_gop if phase
+                                             else 2 * sub_gop,
+                                             num_encoded - 1)
+                            for r in range(3, n):
+                                ref[r] = r - 3 + 1
+            else:
+                # LDB sliding window (enc/mainenc.c:423-454)
+                ref[0] = 0 if last_PorI < 0 else last_PorI
+                if n == 2:
+                    ref[1] = ((num_encoded + p.HQperiod - 2)
+                              % p.HQperiod) + 1
+                elif n == 3:
+                    r1 = ((num_encoded + p.HQperiod - 2) % p.HQperiod) + 1
+                    ref[1], ref[2] = r1, (2 if r1 == 1 else 1)
+                elif n == 4:
+                    r1 = ((num_encoded + p.HQperiod - 2) % p.HQperiod) + 1
+                    r2 = 2 if r1 == 1 else 1
+                    r3 = r2 + 1
+                    if r3 == r1:
+                        r3 += 1
+                    ref[1], ref[2], ref[3] = r1, r2, r3
+                elif n > 4:
+                    for r in range(1, n):
+                        ref[r] = r
+
         # Remove duplicates (enc/mainenc.c:457-470)
-        out = []
+        deduped = []
         for r in ref:
-            if r not in out:
-                out.append(r)
-        self.num_ref = len(out)
-        return out
+            if r not in deduped:
+                deduped.append(r)
+        ref = deduped
+        self.num_ref = len(ref)
+        # Remove references breaking random access (mainenc.c:472-486)
+        if fn > self.last_intra_frame_num:
+            ref = [r for r in ref
+                   if r < 0 or self.refs[r].frame_num
+                   >= self.last_intra_frame_num]
+            self.num_ref = len(ref)
+        self.ref_array = ref
+
+        if (p.intra_rdo == 0
+                or (ftype != I_FRAME and p.encoder_speed > 0)):
+            self.num_intra_modes = 4
+        else:
+            self.num_intra_modes = MAX_NUM_INTRA_MODES
+
+    def _synth_interp(self, r1, r2, ratio, pos):
+        """Interpolated-reference synthesis, identical to the decoder's
+        resynthesis (common/temporal_interp.c:972-1053)."""
+        from ..ops.temporal_interp import interpolate_frames
+        ref1 = self.refs[r1]
+        ref2 = self.refs[r2]
+        y, u, v = interpolate_frames(ref1, ref2, ratio, pos)
+        self.interp_frame = RefFrame(y, u, v, self.frame_num)
 
 
-def read_yuv_frames(path, width, height, num_frames, skip=0):
+def _log2i(n: int) -> int:
+    return n.bit_length() - 1
+
+
+# Coding order <-> display order for dyadic sub-GOPs (enc/mainenc.c:48-61)
+_DYADIC_CD = {1: [0], 2: [1, 0], 4: [3, 1, 0, 2],
+              8: [7, 3, 1, 5, 0, 2, 4, 6],
+              16: [15, 7, 3, 11, 1, 5, 9, 13, 0, 2, 4, 6, 8, 10, 12, 14]}
+_DYADIC_DC = {1: [-1, 0], 2: [-2, 1, 0], 4: [-4, 2, 1, 3, 0],
+              8: [-8, 4, 2, 5, 1, 6, 3, 7, 0],
+              16: [-16, 8, 4, 9, 2, 10, 5, 11, 1, 12, 6, 13, 3, 14, 7, 15,
+                   0]}
+
+
+def _reorder_frame_offset(idx, sub_gop, dyadic):
+    """enc/mainenc.c:63-71"""
+    if dyadic and sub_gop > 1:
+        return _DYADIC_CD[sub_gop][idx] - sub_gop + 1
+    return 0 if idx == 0 else idx - sub_gop
+
+
+def read_yuv_frames(path, width, height, num_frames=None):
+    """Read frames from a planar 4:2:0 file (the whole file by default -
+    the sequence loop needs the true input length for its end-of-clip
+    sub-GOP degradation, enc/mainenc.c:586-590)."""
     ysz, csz = width * height, (width // 2) * (height // 2)
     fsz = ysz + 2 * csz
     with open(path, "rb") as f:
-        f.seek(skip * fsz)
-        for _ in range(num_frames):
+        while num_frames is None or num_frames > 0:
             buf = f.read(fsz)
             if len(buf) < fsz:
                 return
@@ -743,6 +932,8 @@ def read_yuv_frames(path, width, height, num_frames, skip=0):
             v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(
                 height // 2, width // 2)
             yield y.copy(), u.copy(), v.copy()
+            if num_frames is not None:
+                num_frames -= 1
 
 
 def encode_file(config_path, in_path, out_path, width, height, num_frames,
@@ -751,7 +942,6 @@ def encode_file(config_path, in_path, out_path, width, height, num_frames,
         config_path, width=width, height=height, num_frames=num_frames,
         **overrides)
     enc = Encoder(params)
-    frames = read_yuv_frames(in_path, width, height, num_frames,
-                             params.skip)
+    frames = read_yuv_frames(in_path, width, height)
     recons = enc.encode_sequence(frames, out_path)
     return recons

@@ -450,3 +450,76 @@ def search_inter_prediction_params(org, refpad, binfo, mvc, mvp, part,
             mv_arr[index] = mv
             mvp2 = mv_arr[0]
     return sad, mv_arr
+
+
+def motion_estimate_bi(org, refpad0, refpad1, size, width, height, mvc,
+                       mvp, lambda_me, params, sign, fwidth, fheight,
+                       xpos, ypos, mvcand, enable_bipred):
+    """Symmetric bipred MV search with mv0 = -mv1
+    (motion_estimate_bi, enc/encode_block.c:1102-1215).
+
+    mvcand is the SHARED per-SB integer candidate list; the reference
+    writes into fixed slots 0..5 of that array (padding to 4, mvp at [4],
+    zero at [5]) without updating the count - those side effects on
+    already-occupied slots are mirrored.
+    Returns (sad, (mvx, mvy)).
+    """
+    from ..ops import np_kernels as K
+
+    def bipred_sad(cx, cy):
+        c0x, c0y = clip_mv(cx, cy, ypos, xpos, fwidth, fheight, size, sign)
+        p0 = K.mc_luma(refpad0, PAD_Y + ypos, PAD_Y + xpos, height, width,
+                       c0x, c0y, sign, enable_bipred)
+        c1x, c1y = clip_mv(c0x, c0y, ypos, xpos, fwidth, fheight, size,
+                           1 - sign)
+        p1 = K.mc_luma(refpad1, PAD_Y + ypos, PAD_Y + xpos, height, width,
+                       c1x, c1y, 1 - sign, enable_bipred)
+        rf = ((p0.astype(np.int32) + p1) >> 1).astype(np.uint8)
+        s = sad_calc(org, rf)
+        s += int(lambda_me * quote_mv_bits(c1y - mvp[1], c1x - mvp[0])
+                 + 0.5)
+        return s, (c1x, c1y)
+
+    min_sad = (1 << 32) - 1
+    mv_opt = (0, 0)
+    mv_ref = (((mvc[0] + 2) >> 2) << 2, ((mvc[1] + 2) >> 2) << 2)
+    step = 32
+    while step > 0:
+        rng = step
+        for k in range(-rng, rng + 1, step):
+            for l in range(-rng, rng + 1, step):
+                if step < 32 and k == 0 and l == 0:
+                    continue
+                if step == 1:
+                    vf, hf = mv_ref[1] & 3, mv_ref[0] & 3
+                    if vf == 0 and hf == 0:
+                        if abs(k) != abs(l):
+                            continue
+                    elif vf == 2 and hf == 2:
+                        continue
+                    else:
+                        if abs(k) == abs(l):
+                            continue
+                s, mvq = bipred_sad(mv_ref[0] + l, mv_ref[1] + k)
+                if s < min_sad:
+                    min_sad, mv_opt = s, mvq
+        mv_ref = mv_opt
+        step >>= 1
+
+    # Candidate slots 0..5 (the reference's "temporary workaround"):
+    # pads list positions len..3 with zeros, mvp at [4], zero at [5] -
+    # clobbering real entries at 4/5 if the list is longer.
+    cands6 = []
+    for i in range(4):
+        cands6.append(tuple(mvcand[i]) if i < len(mvcand) else (0, 0))
+    cands6.append((mvp[0], mvp[1]))
+    cands6.append((0, 0))
+    if len(mvcand) > 4:
+        mvcand[4] = (mvp[0], mvp[1])
+    if len(mvcand) > 5:
+        mvcand[5] = (0, 0)
+    for cand in cands6:
+        s, mvq = bipred_sad(cand[0], cand[1])
+        if s < min_sad:
+            min_sad, mv_opt = s, mvq
+    return min_sad, mv_opt

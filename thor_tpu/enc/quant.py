@@ -84,6 +84,144 @@ def quantize(coeff: np.ndarray, qp: int, size: int, coeff_block_type: int,
                     else:
                         scoeffq[pos - 2] = -1 if scoeff[pos - 2] < 0 else 1
 
+    if rdoq and cbp:
+        cbp = _rdoq(scoeff, scoeffq, qp, tr_log2size, qsize, chroma_flag,
+                    size, last_pos)
+
     out = np.zeros((size, size), np.int16)
     out[:qsize, :qsize] = scoeffq[zz].reshape(qsize, qsize)
     return cbp, out
+
+
+def _eob_bits(level, pos, N, chroma_flag, size):
+    """EOB bit-usage model used at each truncation point
+    (enc/encode_block.c:228-262)."""
+    from ..bitstream.writer import quote_vlc
+    from .syntax import find_code
+    bit = 0
+    if pos < N - 1:
+        if level > 1:
+            tmp_vlc = 1 if (level > 3 and chroma_flag == 0) else 0
+            bit += quote_vlc(tmp_vlc, 0)
+            if pos < N - 2:
+                bit += _eob_code_bits(chroma_flag, size)
+        else:
+            bit += _eob_code_bits(chroma_flag, size)
+    return bit
+
+
+def _eob_code_bits(chroma_flag, size):
+    from ..bitstream.writer import quote_vlc
+    from .syntax import find_code
+    cn = find_code(0, 0, 0, chroma_flag, 1)
+    if chroma_flag and size <= 8:
+        return quote_vlc(0, cn)
+    if cn == 0:
+        return 2
+    return quote_vlc(2, cn + 1)
+
+
+def _rdoq(scoeff, scoeffq, qp, tr_log2size, qsize, chroma_flag, size,
+          last_pos):
+    """Full RDOQ: replicate the exact VLC bit costs along the forward
+    scan and choose the best truncation point min_pos, with cbp=0 and
+    the chroma-DC special case (enc/encode_block.c:179-472, quirks
+    mirrored: the DC case dequantizes `sign` itself and stores it)."""
+    from ..bitstream.writer import quote_vlc
+    from .syntax import find_code
+    from .encoder import SQUARED_LAMBDA_QP
+
+    N = qsize * qsize
+    lshift = qp // 6
+    rshift = tr_log2size - 1
+    scale_dec = int(GDEQUANT_TABLE[qp % 6])
+    add_dec = 1 << (rshift - 1)
+    lam = 1.0 * SQUARED_LAMBDA_QP[qp] * float(1 << (2 * (7 - tr_log2size)))
+
+    min_pos = 0
+    cost0 = 0
+    min_cost = (1 << 32) - 1
+    tail_sq = np.concatenate([
+        np.cumsum((scoeff * scoeff)[::-1])[::-1][1:], [0]]).astype(np.int64)
+
+    level_mode = 1
+    level = 1
+    pos = 0
+    vlc_adaptive = 0
+    while pos <= last_pos:
+        if level_mode:
+            vlc_adaptive = 1 if (level > 3 and chroma_flag == 0) else 0
+            while pos <= last_pos and level > 0:
+                c = int(scoeffq[pos])
+                level = abs(c)
+                bit = quote_vlc(vlc_adaptive, level)
+                if level > 0:
+                    bit += 1
+                if chroma_flag == 0:
+                    vlc_adaptive = 1 if level > 3 else 0
+                org = int(scoeff[pos])
+                rec = ((c * scale_dec << lshift) + add_dec) >> rshift
+                err = (rec - org) * (rec - org)
+                if chroma_flag == 1 and pos == 0 and level == 1:
+                    bit = 1
+                cost0 += err + int(lam * bit + 0.5)
+                cost1 = cost0 + int(tail_sq[pos])
+                bit = _eob_bits(level, pos, N, chroma_flag, size)
+                cost1 += int(lam * bit + 0.5)
+                if cost1 < min_cost:
+                    min_cost = cost1
+                    min_pos = pos
+                pos += 1
+        maxrun = N - pos - 1
+        run = 0
+        c = 0
+        while c == 0 and pos <= last_pos:
+            c = int(scoeffq[pos])
+            if c == 0:
+                run += 1
+                org = int(scoeff[pos])
+                cost0 += org * org
+            else:
+                level = abs(c)
+                sign = 1 if c < 0 else 0
+                cn = find_code(run, level, maxrun, chroma_flag, 0)
+                bit = 0
+                if chroma_flag and size <= 8:
+                    bit += quote_vlc(10, cn)
+                else:
+                    bit += 2 if cn == 0 else quote_vlc(2, cn + 1)
+                if level > 1:
+                    bit += quote_vlc(0, 2 * (level - 2) + sign)
+                else:
+                    bit += 1
+                run = 0
+                org = int(scoeff[pos])
+                rec = ((c * scale_dec << lshift) + add_dec) >> rshift
+                err = (rec - org) * (rec - org)
+                cost0 += err + int(lam * bit + 0.5)
+                cost1 = cost0 + int(tail_sq[pos])
+                bit = _eob_bits(level, pos, N, chroma_flag, size)
+                cost1 += int(lam * bit + 0.5)
+                if cost1 < min_cost:
+                    min_cost = cost1
+                    min_pos = pos
+            pos += 1
+            vlc_adaptive = 1 if (level > 3 and chroma_flag == 0) else 0
+            level_mode = 1 if level > 1 else 0
+
+    # Evaluate cbp = 0
+    cost1 = int((scoeff * scoeff).sum())
+    if cost1 < min_cost:
+        min_pos = -1
+        min_cost = cost1
+    if chroma_flag:
+        # Special DC case (reference stores `sign` itself, 0 or 1)
+        sign = 1 if scoeff[0] < 0 else 0
+        rec = ((sign * scale_dec << lshift) + add_dec) >> rshift
+        err = (int(scoeff[0]) - rec) * (int(scoeff[0]) - rec)
+        cost1 = err + int(lam * 1 + 0.5) + int(tail_sq[0])
+        if cost1 < min_cost:
+            min_pos = 0
+            scoeffq[0] = sign
+    scoeffq[min_pos + 1:] = 0
+    return int((scoeffq != 0).any())
