@@ -37,3 +37,15 @@ def test_bit_exact_decode(name):
     assert got.shape == golden.shape
     mismatch = int((got != golden).sum())
     assert mismatch == 0, f"{name}: {mismatch} mismatching bytes"
+
+
+def test_python_parse_fallback_parity():
+    """The pure-Python parser (fallback when no C compiler is available)
+    must agree with the native entropy layer."""
+    from thor_tpu.dec.decoder import decode_file
+    a = decode_file(str(TESTDATA / "RA_low_complexity.bit"), parse="python")
+    b = decode_file(str(TESTDATA / "RA_low_complexity.bit"), parse="native")
+    for (ya, ua, va), (yb, ub, vb) in zip(a, b):
+        assert np.array_equal(ya, yb)
+        assert np.array_equal(ua, ub)
+        assert np.array_equal(va, vb)

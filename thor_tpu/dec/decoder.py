@@ -18,8 +18,16 @@ from .reconstruct_np import RefFrame, apply_clpf, reconstruct_frame
 
 
 class Decoder:
-    def __init__(self, backend: str = "numpy", collect_stats: bool = False):
+    def __init__(self, backend: str = "numpy", collect_stats: bool = False,
+                 parse: str = "native"):
         self.backend = backend
+        self.parse_mode = parse
+        if parse == "native":
+            try:
+                from ..native import lib
+                lib()
+            except Exception:
+                self.parse_mode = "python"
         self.seq: Optional[SequenceHeader] = None
         self.refs: List[Optional[RefFrame]] = [None] * MAX_REF_FRAMES
         self.interp_frame: Optional[RefFrame] = None
@@ -65,8 +73,13 @@ class Decoder:
     def decode_frame(self, br: BitReader):
         seq = self.seq
         ref_frame_nums = [r.frame_num for r in self.refs]
-        parser = FrameParser(seq, br, ref_frame_nums)
-        fs = parser.parse()
+        if self.parse_mode == "native":
+            from .native_adapter import native_parse_to_syntax
+            fs = native_parse_to_syntax(br.data, br.pos, seq,
+                                        ref_frame_nums)
+        else:
+            parser = FrameParser(seq, br, ref_frame_nums)
+            fs = parser.parse()
 
         if self.stats is not None:
             ft = {0: "I", 1: "P", 2: "B"}[fs.stat_frame_type]
@@ -117,9 +130,9 @@ class Decoder:
 
 
 def decode_file(path: str, out_path: Optional[str] = None,
-                backend: str = "numpy"):
+                backend: str = "numpy", parse: str = "native"):
     """Decode a bitstream; optionally write planar YUV output."""
-    dec = Decoder(backend=backend)
+    dec = Decoder(backend=backend, parse=parse)
     frames = []
     out = open(out_path, "wb") if out_path else None
     try:

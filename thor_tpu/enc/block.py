@@ -280,8 +280,8 @@ def mode_decision_rdo(enc, w: BitWriter, binfo: BlockInfo):
                 ref = enc.get_ref(ref_idx)
                 tmp.ref_idx0 = tmp.ref_idx1 = ref_idx
                 mvp = binfo.mvp
-                lst, mask = enc.mvcand.setdefault(ref_idx, ([], 0))
-                mask = add_mvcandidate(mvp, lst, mask)
+                cl = enc.mvcand_for(ref_idx)
+                add_mvcandidate(mvp, cl)
                 sign = 1 if ref.frame_num >= enc.frame_num else 0
                 mv_center = mvp
                 sad_inter = (1 << 32) - 1
@@ -289,15 +289,14 @@ def mode_decision_rdo(enc, w: BitWriter, binfo: BlockInfo):
                 for part in range(binfo.max_num_pb_part):
                     sad, mv_arr = search_inter_prediction_params(
                         org, ref.y, binfo, mv_center, mvp, part,
-                        lambda_me, p, sign, enc.width, enc.height, lst,
-                        mask, p.enable_bipred)
+                        lambda_me, p, sign, enc.width, enc.height, cl,
+                        p.enable_bipred)
                     for mv in mv_arr:
-                        mask = add_mvcandidate(mv, lst, mask)
+                        add_mvcandidate(mv, cl)
                     mv_parts[part] = mv_arr
                     mv_center = mv_parts[0][0]
                     sad_inter = min(sad_inter, sad)
                 mv_center_map[ref_idx] = mv_center
-                enc.mvcand[ref_idx] = (lst, mask)
                 if intra_inter_sad:
                     do_inter = sad_inter < sad_intra
                     if sad_inter < sad_intra:
@@ -412,11 +411,11 @@ def _search_bipred(enc, binfo, part, mv_center_map, mvp, me_mode=0):
         r_idx1 = 2 if enc.interp_ref else 1
         ref0 = enc.get_ref(r_idx0)
         ref1 = enc.get_ref(r_idx1)
-        lst, mask = enc.mvcand.setdefault(r_idx0, ([], 0))
+        cl = enc.mvcand_for(r_idx0)
         _, mv = motion_estimate_bi(
             org_y, ref0.y, ref1.y, size, size, size,
             mv_center_map.get(r_idx0, mvp), mvp, lambda_me, p, 0,
-            enc.width, enc.height, xpos, ypos, lst, 2)
+            enc.width, enc.height, xpos, ypos, cl, 2)
         return r_idx0, r_idx1, [mv] * 4, [mv] * 4
 
     ref_idx = 1 if (enc.frame_type == B_FRAME and enc.interp_ref == 1) \
@@ -450,13 +449,12 @@ def _search_bipred(enc, binfo, part, mv_center_map, mvp, me_mode=0):
                 mvp2 = mv if (enc.frame_type == B_FRAME and list_ == 1) \
                     else mvp
                 mvc = mv_center_map.get(ref_idx, mvp)
-                lst, mask = enc.mvcand.setdefault(ref_idx, ([], 0))
+                cl = enc.mvcand_for(ref_idx)
                 sad, mv_all = search_inter_prediction_params(
                     org8, ref.y, binfo, mvc, mvp2, part, lambda_me, p,
-                    sign, enc.width, enc.height, lst, mask, 1)
+                    sign, enc.width, enc.height, cl, 1)
                 for m in mv_all:
-                    mask = add_mvcandidate(m, lst, mask)
-                enc.mvcand[ref_idx] = (lst, mask)
+                    add_mvcandidate(m, cl)
                 if sad < min_sad:
                     min_sad = sad
                     if list_:

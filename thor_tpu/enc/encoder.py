@@ -151,6 +151,8 @@ class Encoder:
         self.max_delta_qp = p.max_delta_qp
         self.enable_bipred = p.enable_bipred
         self.final_encode = False
+        self.mvcand = {}
+        self.best_ref = -1
 
         self.refs: List[Optional[RefFrame]] = [None] * MAX_REF_FRAMES
         self.interp_frame: Optional[RefFrame] = None
@@ -549,9 +551,18 @@ class Encoder:
             + self.refs[:-1]
 
     def reset_sb_state(self):
-        """Per-SB ME candidate reset (enc/encode_frame.c:117-122)."""
-        self.mvcand = {}
+        """Per-SB ME candidate reset (enc/encode_frame.c:117-122):
+        counts and masks reset, slot contents persist like the
+        reference's fixed arrays."""
+        for cl in self.mvcand.values():
+            cl.reset()
         self.best_ref = -1
+
+    def mvcand_for(self, ref_idx):
+        from .inter import MVCandList
+        if ref_idx not in self.mvcand:
+            self.mvcand[ref_idx] = MVCandList()
+        return self.mvcand[ref_idx]
 
     def _clpf_frame(self, w: BitWriter):
         """clpf_frame with encoder decision callback

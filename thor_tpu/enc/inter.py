@@ -225,15 +225,47 @@ def mv_mask_hash(x, y):
     return 1 << (((y << 3) ^ x) & 63)
 
 
-def add_mvcandidate(mv, lst, mask):
-    """Integer-resolution candidate dedup via 64-bit hash mask
-    (enc/encode_block.c:60-73). Returns updated mask."""
+class MVCandList:
+    """Per-SB ME candidate store mirroring frame_info.mvcand: 64
+    persistent slots with a count + 64-bit dedup hash mask
+    (common/types.h mvcand fields, enc/encode_block.c:60-73). Slots keep
+    their values across per-SB resets, which motion_estimate_bi/_sync
+    observe when reading fixed indices beyond the count."""
+
+    __slots__ = ("slots", "num", "mask")
+
+    def __init__(self):
+        self.slots = [(0, 0)] * 64
+        self.num = 0
+        self.mask = 0
+
+    def reset(self):
+        self.num = 0
+        self.mask = 0
+
+    def __len__(self):
+        return self.num
+
+    def __iter__(self):
+        return iter(self.slots[:self.num])
+
+    def __getitem__(self, i):
+        return self.slots[i]
+
+    def __setitem__(self, i, v):
+        self.slots[i] = v
+
+
+def add_mvcandidate(mv, cl: MVCandList):
+    """Add a quarter-pel MV as an integer-pel candidate with hash dedup
+    (add_mvcandidate, enc/encode_block.c:62-73)."""
     ix = (mv[0] + 2) >> 2
     iy = (mv[1] + 2) >> 2
     m = mv_mask_hash(ix, iy)
-    if not (m & mask):
-        lst.append((ix, iy))
-    return mask | m
+    if not (m & cl.mask):
+        cl.slots[cl.num] = (ix, iy)
+        cl.num += 1
+    cl.mask |= m
 
 
 def motion_estimate(org, refpad, size, width, height, mvc, mvp, lambda_me,
@@ -397,20 +429,19 @@ def motion_estimate(org, refpad, size, width, height, mvc, mvp, lambda_me,
 
 def search_inter_prediction_params(org, refpad, binfo, mvc, mvp, part,
                                    lambda_me, params, sign, fwidth,
-                                   fheight, mvcand, mvcand_mask,
-                                   enable_bipred):
+                                   fheight, mvcand, enable_bipred):
     """Per-PB-partition ME dispatch (enc/encode_block.c:1331-1397).
-    Returns (sad, mv_arr[4], new_mvc). mvcand/mvcand_mask managed by
-    the caller (the list is mutated; mask returned unchanged here)."""
+    Returns (sad, mv_arr[4]). mvcand is the shared MVCandList."""
     size = binfo.size
     ypos, xpos = binfo.ypos, binfo.xpos
     mvp2 = mvp
     mv_arr = [(0, 0)] * 4
     sad = 0
     if part == 0:
-        s, mv = motion_estimate(org, refpad, size, size, size, mvc, mvp2,
-                                lambda_me, params, sign, fwidth, fheight,
-                                xpos, ypos, mvcand, enable_bipred)
+        me = motion_estimate_sync if params.sync else motion_estimate
+        s, mv = me(org, refpad, size, size, size, mvc, mvp2,
+                   lambda_me, params, sign, fwidth, fheight,
+                   xpos, ypos, mvcand, enable_bipred)
         sad += s
         mv_arr = [mv] * 4
     elif part == 1:  # HOR
@@ -507,19 +538,67 @@ def motion_estimate_bi(org, refpad0, refpad1, size, width, height, mvc,
         step >>= 1
 
     # Candidate slots 0..5 (the reference's "temporary workaround"):
-    # pads list positions len..3 with zeros, mvp at [4], zero at [5] -
-    # clobbering real entries at 4/5 if the list is longer.
-    cands6 = []
-    for i in range(4):
-        cands6.append(tuple(mvcand[i]) if i < len(mvcand) else (0, 0))
-    cands6.append((mvp[0], mvp[1]))
-    cands6.append((0, 0))
-    if len(mvcand) > 4:
-        mvcand[4] = (mvp[0], mvp[1])
-    if len(mvcand) > 5:
-        mvcand[5] = (0, 0)
-    for cand in cands6:
+    # pads slots num..3 with zeros, mvp at [4], zero at [5] - writing the
+    # shared slot array in place (enc/encode_block.c:1177-1186).
+    for i in range(len(mvcand), 4):
+        mvcand[i] = (0, 0)
+    mvcand[4] = (mvp[0], mvp[1])
+    mvcand[5] = (0, 0)
+    for i in range(6):
+        cand = mvcand[i]
         s, mvq = bipred_sad(cand[0], cand[1])
+        if s < min_sad:
+            min_sad, mv_opt = s, mvq
+    return min_sad, mv_opt
+
+
+def motion_estimate_sync(org, refpad, size, width, height, mvc, mvp,
+                         lambda_me, params, sign, fwidth, fheight, xpos,
+                         ypos, mvcand, enable_bipred):
+    """Deterministic telescope-to-quarter-pel search via real MC
+    (motion_estimate_sync, enc/encode_block.c:1018-1100): block
+    decisions independent of encoder-internal per-row candidate state
+    (the basis for synchronized/parallel row encoding)."""
+    from ..ops import np_kernels as K
+
+    def mc_sad(cx, cy):
+        cx, cy = clip_mv(cx, cy, ypos, xpos, fwidth, fheight, size, sign)
+        pred = K.mc_luma(refpad, PAD_Y + ypos, PAD_Y + xpos, height, width,
+                         cx, cy, sign, enable_bipred)
+        s = sad_calc(org, pred)
+        s += int(lambda_me * quote_mv_bits(cy - mvp[1], cx - mvp[0]) + 0.5)
+        return s, (cx, cy)
+
+    min_sad = (1 << 32) - 1
+    mv_opt = (0, 0)
+    mv_ref = (((mvc[0] + 2) >> 2) << 2, ((mvc[1] + 2) >> 2) << 2)
+    step = 32
+    while step > 0:
+        for k in range(-step, step + 1, step):
+            for l in range(-step, step + 1, step):
+                if step < 32 and k == 0 and l == 0:
+                    continue
+                if step == 1:
+                    vf, hf = mv_ref[1] & 3, mv_ref[0] & 3
+                    if vf == 0 and hf == 0:
+                        if abs(k) != abs(l):
+                            continue
+                    elif vf == 2 and hf == 2:
+                        continue
+                    else:
+                        if abs(k) == abs(l):
+                            continue
+                s, mvq = mc_sad(mv_ref[0] + l, mv_ref[1] + k)
+                if s < min_sad:
+                    min_sad, mv_opt = s, mvq
+        mv_ref = mv_opt
+        step >>= 1
+
+    mvcand[4] = (mvp[0], mvp[1])
+    mvcand[5] = (0, 0)
+    for i in range(6):
+        cand = mvcand[i]
+        s, mvq = mc_sad(cand[0], cand[1])
         if s < min_sad:
             min_sad, mv_opt = s, mvq
     return min_sad, mv_opt

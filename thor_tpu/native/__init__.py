@@ -1,0 +1,148 @@
+"""Native runtime: C entropy layer built on demand and bound via ctypes.
+
+The serial VLC parse is the decoder's only inherently sequential stage;
+it runs as native code (thor_entropy.c) producing the SoA parameter
+planes the batched device kernels consume. Built with the system
+compiler on first use and cached next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "thor_entropy.c"
+_SO = _HERE / "_thor_entropy.so"
+
+i32p = ctypes.POINTER(ctypes.c_int32)
+i16p = ctypes.POINTER(ctypes.c_int16)
+i64p = ctypes.POINTER(ctypes.c_int64)
+u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+class SeqHdrC(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in
+                ("width", "height", "pb_split", "tb_split_enable",
+                 "max_num_ref", "interp_ref", "max_delta_qp", "deblocking",
+                 "clpf", "use_block_contexts", "bipred")]
+
+
+class FrameHdrC(ctypes.Structure):
+    _fields_ = ([(n, ctypes.c_int32) for n in
+                 ("frame_type", "stat_frame_type", "qp", "num_intra_modes",
+                  "num_ref")]
+                + [("ref_array", ctypes.c_int32 * 8)]
+                + [(n, ctypes.c_int32) for n in
+                   ("interp_ref_frame", "display_frame_num",
+                    "clpf_frame_enable", "clpf_all")])
+
+
+_lib = None
+
+
+def lib():
+    global _lib
+    if _lib is None:
+        if (not _SO.exists()
+                or _SO.stat().st_mtime < _SRC.stat().st_mtime):
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", "-o", str(_SO),
+                 str(_SRC)], check=True)
+        _lib = ctypes.CDLL(str(_SO))
+        _lib.thor_parse_frame.restype = ctypes.c_int
+    return _lib
+
+
+def _i32(a):
+    return a.ctypes.data_as(i32p)
+
+
+class NativeFrame:
+    """SoA result of one parsed frame."""
+
+    __slots__ = ("hdr", "dd", "n", "ypos", "xpos", "size", "mode", "dir",
+                 "ref_idx0", "ref_idx1", "intra_mode", "tb_split", "qp",
+                 "cbp", "mv0x", "mv0y", "mv1x", "mv1y", "coeff_y",
+                 "coeff_u", "coeff_v", "coff_y", "coff_u", "coff_v",
+                 "clpf_bits")
+
+
+def parse_seq_header(payload: bytes):
+    s = SeqHdrC()
+    bits = ctypes.c_int32(0)
+    lib().thor_parse_seq_header(
+        ctypes.cast(payload, u8p), len(payload), ctypes.byref(s),
+        ctypes.byref(bits))
+    return s, bits.value
+
+
+def parse_frame(payload: bytes, start_bit: int, seq: SeqHdrC,
+                ref_frame_nums) -> NativeFrame:
+    W, H = seq.width, seq.height
+    gh, gw = H // 4, W // 4
+    cap_blocks = (W // 8) * (H // 8) + (W // 8) + (H // 8) + 8
+    cap_y = W * H + 128 * 64 * 64
+    cap_c = cap_y // 4 + 64 * 32 * 32
+
+    dd = {k: np.zeros((gh, gw), np.int32) for k in
+          ("mode", "size", "tb_split", "pb_part", "cbp_y", "cbp_u",
+           "cbp_v", "mv0x", "mv0y", "mv1x", "mv1y", "ref_idx0",
+           "ref_idx1", "bipred_flag")}
+    fh = FrameHdrC()
+    b = {k: np.zeros(cap_blocks, np.int32) for k in
+         ("ypos", "xpos", "size", "mode", "dir", "ref0", "ref1", "imode",
+          "tb", "qp", "cbp")}
+    mv = {k: np.zeros(cap_blocks * 4, np.int32) for k in
+          ("mv0x", "mv0y", "mv1x", "mv1y")}
+    coeff_y = np.zeros(cap_y, np.int16)
+    coeff_u = np.zeros(cap_c, np.int16)
+    coeff_v = np.zeros(cap_c, np.int16)
+    coff_y = np.zeros(cap_blocks, np.int64)
+    coff_u = np.zeros(cap_blocks, np.int64)
+    coff_v = np.zeros(cap_blocks, np.int64)
+    clpf_bits = np.zeros(max((H // 64) * (W // 64), 1), np.int32)
+    refnums = np.asarray(ref_frame_nums, np.int32)
+
+    n = lib().thor_parse_frame(
+        ctypes.cast(payload, u8p), len(payload), start_bit,
+        ctypes.byref(seq), _i32(refnums),
+        _i32(dd["mode"]), _i32(dd["size"]), _i32(dd["tb_split"]),
+        _i32(dd["pb_part"]), _i32(dd["cbp_y"]), _i32(dd["cbp_u"]),
+        _i32(dd["cbp_v"]), _i32(dd["mv0x"]), _i32(dd["mv0y"]),
+        _i32(dd["mv1x"]), _i32(dd["mv1y"]), _i32(dd["ref_idx0"]),
+        _i32(dd["ref_idx1"]), _i32(dd["bipred_flag"]),
+        ctypes.byref(fh),
+        _i32(b["ypos"]), _i32(b["xpos"]), _i32(b["size"]), _i32(b["mode"]),
+        _i32(b["dir"]), _i32(b["ref0"]), _i32(b["ref1"]), _i32(b["imode"]),
+        _i32(b["tb"]), _i32(b["qp"]), _i32(b["cbp"]),
+        _i32(mv["mv0x"]), _i32(mv["mv0y"]), _i32(mv["mv1x"]),
+        _i32(mv["mv1y"]),
+        coeff_y.ctypes.data_as(i16p), coeff_u.ctypes.data_as(i16p),
+        coeff_v.ctypes.data_as(i16p),
+        coff_y.ctypes.data_as(i64p), coff_u.ctypes.data_as(i64p),
+        coff_v.ctypes.data_as(i64p),
+        _i32(clpf_bits))
+    if n < 0:
+        raise ValueError("native parse failed")
+
+    nf = NativeFrame()
+    nf.hdr = fh
+    nf.dd = dd
+    nf.n = n
+    for k in ("ypos", "xpos", "size", "mode", "dir", "qp", "cbp"):
+        setattr(nf, k, b[k][:n])
+    nf.ref_idx0 = b["ref0"][:n]
+    nf.ref_idx1 = b["ref1"][:n]
+    nf.intra_mode = b["imode"][:n]
+    nf.tb_split = b["tb"][:n]
+    for k in ("mv0x", "mv0y", "mv1x", "mv1y"):
+        setattr(nf, k, mv[k][:n * 4].reshape(n, 4))
+    nf.coeff_y, nf.coeff_u, nf.coeff_v = coeff_y, coeff_u, coeff_v
+    nf.coff_y, nf.coff_u, nf.coff_v = coff_y[:n], coff_u[:n], coff_v[:n]
+    nf.clpf_bits = clpf_bits
+    return nf
