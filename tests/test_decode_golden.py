@@ -49,3 +49,46 @@ def test_python_parse_fallback_parity():
         assert np.array_equal(ya, yb)
         assert np.array_equal(ua, ub)
         assert np.array_equal(va, vb)
+
+
+def test_checkpoint_resume_mid_stream(tmp_path):
+    """Decode 5 frames, checkpoint, resume in a fresh Decoder, finish:
+    output must match a straight decode."""
+    from thor_tpu.bitstream.reader import BitReader, iter_frames
+    from thor_tpu.dec.decoder import Decoder, decode_file
+    from thor_tpu.dec.parse import SequenceHeader
+    from thor_tpu.dec.reconstruct_np import RefFrame
+    from thor_tpu.utils.checkpoint import (load_decoder_state,
+                                           save_decoder_state)
+
+    path = TESTDATA / "LDB_medium_complexity.bit"
+    golden = decode_file(str(path))
+
+    payloads = list(iter_frames(str(path)))
+    dec = Decoder()
+    out = []
+    for i, p in enumerate(payloads[:5]):
+        br = BitReader(p)
+        if i == 0:
+            dec.seq = SequenceHeader.read(br)
+            dec.refs = [RefFrame(np.zeros((288, 352), np.uint8),
+                                 np.zeros((144, 176), np.uint8),
+                                 np.zeros((144, 176), np.uint8), 0)
+                        for _ in range(33)]
+        y, u, v, _ = dec.decode_frame(br)
+        out.append((y, u, v))
+    ckpt = tmp_path / "state.npz"
+    save_decoder_state(dec, str(ckpt))
+
+    dec2 = Decoder()
+    dec2.refs = [None] * 33
+    load_decoder_state(dec2, str(ckpt))
+    for p in payloads[5:]:
+        y, u, v, _ = dec2.decode_frame(BitReader(p))
+        out.append((y, u, v))
+
+    # LDB: coding order == display order
+    for (ya, ua, va), (yb, ub, vb) in zip(out, golden):
+        assert np.array_equal(ya, yb)
+        assert np.array_equal(ua, ub)
+        assert np.array_equal(va, vb)

@@ -68,16 +68,33 @@ def main(argv=None):
         print("need -if <input.yuv> and -of <output.bit>", file=sys.stderr)
         return 1
 
+    # y4m input auto-detect (enc/strings.c:359-409)
+    from ..utils.y4m import probe_y4m, read_y4m_frames, Y4MWriter
+    y4m = probe_y4m(files["if"])
+    if y4m is not None:
+        params.width, params.height, params.frame_rate = \
+            y4m[0], y4m[1], float(y4m[2])
+        frames = list(read_y4m_frames(files["if"]))
+    else:
+        frames = list(read_yuv_frames(files["if"], params.width,
+                                      params.height))
+
     enc = Encoder(params)
-    frames = list(read_yuv_frames(files["if"], params.width, params.height))
     t0 = time.time()
     recons = enc.encode_sequence(frames, files["of"])
     dt = time.time() - t0
 
     if files["rf"]:
-        with open(files["rf"], "wb") as f:
+        if files["rf"].endswith(".y4m"):
+            wtr = Y4MWriter(files["rf"], params.width, params.height,
+                            params.frame_rate)
             for (y, u, v) in recons:
-                f.write(y.tobytes() + u.tobytes() + v.tobytes())
+                wtr.write(y, u, v)
+            wtr.close()
+        else:
+            with open(files["rf"], "wb") as f:
+                for (y, u, v) in recons:
+                    f.write(y.tobytes() + u.tobytes() + v.tobytes())
 
     import os
     nbits = os.path.getsize(files["of"]) * 8
