@@ -361,9 +361,130 @@ def _jitted(cfg: FrameConfig):
     return jax.jit(lambda inp: _frame_fn(cfg, inp))
 
 
+# --- stage-wise jitted execution -------------------------------------------
+# Each pipeline stage is jitted separately (keyed by its own static
+# shape class), so a change in one TU-count bucket recompiles only that
+# stage instead of the whole frame program; intermediates stay on
+# device between stages.
+
+@lru_cache(maxsize=None)
+def _jit_resid_y(s: int):
+    def f(ry, coeff, fac, add, sh, ys, xs):
+        vals = JK.residual_group(coeff, fac, add, sh, 32 if s == 64 else s)
+        if s == 64:
+            vals = jnp.repeat(jnp.repeat(vals, 2, axis=1), 2, axis=2)
+        return JK.scatter_tu(ry, vals, ys, xs)
+    return jax.jit(f, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def _jit_resid_c(s: int):
+    def f(rc, coeff, fac, add, sh, ys, xs, pl):
+        vals = JK.residual_group(coeff, fac, add, sh, s)
+        ar = jnp.arange(s, dtype=jnp.int32)
+        yy = ys[:, None, None] + ar[None, :, None]
+        xx = xs[:, None, None] + ar[None, None, :]
+        plb = jnp.broadcast_to(pl[:, None, None], vals.shape)
+        return rc.at[plb, yy, xx].add(vals)
+    return jax.jit(f, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def _jit_mc(H: int, W: int, bipred_filter: int, has_bi: bool):
+    lutY = JK.build_luma_mc_lut(bipred_filter)
+    lutC = JK.build_chroma_mc_lut()
+
+    def f(refY, refU, refV, mv0x, mv0y, mv1x, mv1y, slot0, slot1,
+          use_bi, ry, rc):
+        mvargs = (mv0x, mv0y, mv1x, mv1y, slot0, slot1, use_bi)
+        py = JK.mc_frame(refY, *mvargs, lutY, JK.PAD_Y, 2, 4, H, W, -2,
+                         has_bi)
+        pu = JK.mc_frame(refU, *mvargs, lutC, JK.PAD_C, 3, 2, H // 2,
+                         W // 2, -1, has_bi)
+        pv = JK.mc_frame(refV, *mvargs, lutC, JK.PAD_C, 3, 2, H // 2,
+                         W // 2, -1, has_bi)
+        return (JK.clip255(py + ry), JK.clip255(pu + rc[0]),
+                JK.clip255(pv + rc[1]))
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _jit_intra_y(H: int, W: int):
+    def f(y, ry, tus):
+        P = _pad_for_scan(y)[None]
+        Rp = _pad_for_scan(ry)[None]
+        P = JK.intra_scan(P, Rp, tus)
+        return P[0, JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _jit_intra_c(H: int, W: int):
+    Hc, Wc = H // 2, W // 2
+
+    def f(u, v, rc, tus):
+        P = jnp.stack([_pad_for_scan(u), _pad_for_scan(v)])
+        Rp = jnp.stack([_pad_for_scan(rc[0]), _pad_for_scan(rc[1])])
+        P = JK.intra_scan(P, Rp, tus)
+        return (P[0, JK.PADI:JK.PADI + Hc, JK.PADI:JK.PADI + Wc],
+                P[1, JK.PADI:JK.PADI + Hc, JK.PADI:JK.PADI + Wc])
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _jit_filters(H: int, W: int, deblocking: bool, clpf: bool):
+    def f(y, u, v, dd, beta, tc, tcC, m8y, m8u, m8v):
+        if deblocking:
+            y = JK.deblock_luma(y, dd, H, W, beta, tc)
+            u = JK.deblock_chroma(u, dd, H, W, tcC)
+            v = JK.deblock_chroma(v, dd, H, W, tcC)
+        if clpf:
+            y = JK.clpf_plane(y, m8y, 64, H, W)
+            u = JK.clpf_plane(u, m8u, 32, H // 2, W // 2)
+            v = JK.clpf_plane(v, m8v, 32, H // 2, W // 2)
+        return (y.astype(jnp.uint8), u.astype(jnp.uint8),
+                v.astype(jnp.uint8))
+    return jax.jit(f, donate_argnums=(0, 1, 2))
+
+
+def _staged_frame(cfg: FrameConfig, inp):
+    H, W = cfg.H, cfg.W
+    Hc, Wc = H // 2, W // 2
+    ry = jnp.zeros((H, W), jnp.int32)
+    rc = jnp.zeros((2, Hc, Wc), jnp.int32)
+    for s, _ in cfg.groups_y:
+        g = inp[f'gy{s}']
+        ry = _jit_resid_y(s)(ry, g['coeff'], g['f'], g['a'], g['sh'],
+                             g['y'], g['x'])
+    for s, _ in cfg.groups_c:
+        g = inp[f'gc{s}']
+        rc = _jit_resid_c(s)(rc, g['coeff'], g['f'], g['a'], g['sh'],
+                             g['y'], g['x'], g['pl'])
+    if cfg.R > 0:
+        y, u, v = _jit_mc(H, W, cfg.bipred_filter, cfg.has_bi)(
+            inp['refY'], inp['refU'], inp['refV'], inp['mv0x'],
+            inp['mv0y'], inp['mv1x'], inp['mv1y'], inp['slot0'],
+            inp['slot1'], inp['use_bi'], ry, rc)
+    else:
+        y = jnp.zeros((H, W), jnp.int32)
+        u = jnp.zeros((Hc, Wc), jnp.int32)
+        v = jnp.zeros((Hc, Wc), jnp.int32)
+    if cfg.n_intra_y:
+        y = _jit_intra_y(H, W)(y, ry, inp['tuy'])
+    if cfg.n_intra_c:
+        u, v = _jit_intra_c(H, W)(u, v, rc, inp['tuc'])
+    zero = np.int32(0)
+    zmask = np.zeros((1, 1), bool)
+    return _jit_filters(H, W, cfg.deblocking, cfg.clpf)(
+        y, u, v, inp.get('dd', {}), inp.get('beta', zero),
+        inp.get('tc', zero), inp.get('tcC', zero),
+        inp.get('m8y', zmask), inp.get('m8u', zmask),
+        inp.get('m8v', zmask))
+
+
 def reconstruct_frame_jax(decoder, fs: FrameSyntax, refs, interp_frame,
                           W, H, seq_bipred, deblocking):
     cfg, inp = build_frame_inputs(fs, refs, interp_frame, W, H,
                                   decoder.seq, deblocking)
-    y, u, v = _jitted(cfg)(inp)
+    y, u, v = _staged_frame(cfg, inp)
     return np.asarray(y), np.asarray(u), np.asarray(v)

@@ -95,7 +95,13 @@ def build_chroma_mc_lut() -> np.ndarray:
 
 def mc_plane(refstack, mvx_cell, mvy_cell, slot_cell, lut, pad, frac_bits,
              cell_rep, H, W, tap_lo):
-    """Whole-plane motion compensation via per-pixel phase-LUT gather.
+    """Whole-plane motion compensation via one windowed gather per cell.
+
+    MV parameters are constant over each cell (the 4x4 side-information
+    granularity), so instead of T*T whole-plane gathers we gather one
+    (cell_rep + T - 1)^2 reference window per cell (a single XLA gather)
+    and run the T*T-tap phase-weighted accumulation as dense shifted
+    slices of the windows - VPU work with no further memory indirection.
 
     refstack: [R, H+2*pad, W+2*pad] uint8 reference planes.
     mvx_cell/mvy_cell/slot_cell: [H/cs, W/cs] int32 per-cell params, sign
@@ -105,26 +111,39 @@ def mc_plane(refstack, mvx_cell, mvy_cell, slot_cell, lut, pad, frac_bits,
       offset (-2 luma, -1 chroma).
     Returns [H, W] int32 in 0..255.
     """
-    mvx = jnp.repeat(jnp.repeat(mvx_cell, cell_rep, 0), cell_rep, 1)
-    mvy = jnp.repeat(jnp.repeat(mvy_cell, cell_rep, 0), cell_rep, 1)
-    slot = jnp.repeat(jnp.repeat(slot_cell, cell_rep, 0), cell_rep, 1)
+    T = lut.shape[-1]
+    cs = cell_rep
+    HC, WC = H // cs, W // cs
+    WS = cs + T - 1
 
     fmask = (1 << frac_bits) - 1
-    hf = mvx & fmask
-    vf = mvy & fmask
+    hf = (mvx_cell & fmask).reshape(-1)
+    vf = (mvy_cell & fmask).reshape(-1)
     phase = vf * (fmask + 1) + hf
-    iy = (mvy >> frac_bits) + (jnp.arange(H, dtype=jnp.int32)[:, None] + pad)
-    ix = (mvx >> frac_bits) + (jnp.arange(W, dtype=jnp.int32)[None, :] + pad)
+    ivy = (mvy_cell >> frac_bits).reshape(-1)
+    ivx = (mvx_cell >> frac_bits).reshape(-1)
+    cy = jnp.arange(HC, dtype=jnp.int32) * cs
+    cx = jnp.arange(WC, dtype=jnp.int32) * cs
+    y0 = (ivy + pad + tap_lo
+          + jnp.broadcast_to(cy[:, None], (HC, WC)).reshape(-1))
+    x0 = (ivx + pad + tap_lo
+          + jnp.broadcast_to(cx[None, :], (HC, WC)).reshape(-1))
+    slot = slot_cell.reshape(-1)
 
-    T = lut.shape[-1]
+    def window(s, yy, xx):
+        return lax.dynamic_slice(refstack, (s, yy, xx), (1, WS, WS))[0]
+
+    win = jax.vmap(window)(slot, y0, x0).astype(jnp.int32)  # [N, WS, WS]
+
     lut_flat = jnp.asarray(lut.reshape(lut.shape[0], T * T))
-    acc = jnp.zeros((H, W), jnp.int32)
+    wsel = lut_flat[phase]                                  # [N, T*T]
+    acc = jnp.zeros((HC * WC, cs, cs), jnp.int32)
     for t in range(T * T):
-        dy, dx = t // T + tap_lo, t % T + tap_lo
-        w = lut_flat[phase, t]
-        px = refstack[slot, iy + dy, ix + dx].astype(jnp.int32)
-        acc = acc + w * px
-    return clip255((acc + 2048) >> 12)
+        m, n = t // T, t % T
+        acc = acc + (wsel[:, t][:, None, None]
+                     * win[:, m:m + cs, n:n + cs])
+    out = clip255((acc + 2048) >> 12)
+    return out.reshape(HC, WC, cs, cs).transpose(0, 2, 1, 3).reshape(H, W)
 
 
 def mc_frame(refstack, mv0x, mv0y, mv1x, mv1y, slot0, slot1, use_bi, lut,
