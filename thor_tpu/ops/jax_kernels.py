@@ -146,15 +146,57 @@ def mc_plane(refstack, mvx_cell, mvy_cell, slot_cell, lut, pad, frac_bits,
     return out.reshape(HC, WC, cs, cs).transpose(0, 2, 1, 3).reshape(H, W)
 
 
+def mc_phase_conv(refstack, lut, pad):
+    """All-phase motion-compensation interpolation as one convolution.
+
+    Computes every fractional-phase interpolation of every reference
+    plane in a single f32 conv (exact: weights |sum| bounds keep all
+    partial sums < 2^24, so float32 accumulation is integer-exact), so
+    per-pixel MC reduces to ONE gather from [R, P, Hv, Wv] uint8 planes.
+    MXU does the arithmetic; the memory-indirection cost drops from
+    T*T gathers (or per-cell windowed gathers) to a single one.
+    """
+    T = lut.shape[-1]
+    R = refstack.shape[0]
+    x = refstack.astype(jnp.float32)[:, None, :, :]          # [R,1,Hp,Wp]
+    w = jnp.asarray(lut).astype(jnp.float32)[:, None, :, :]  # [P,1,T,T]
+    out = lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                  # [R,P,Hv,Wv]
+    out = jnp.floor((out + 2048.0) / 4096.0)
+    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
+
+def mc_gather_from_phases(phases, mvx_cell, mvy_cell, slot_cell, pad,
+                          frac_bits, cell_rep, H, W, tap_lo):
+    """Per-pixel selection from the all-phase conv planes: one gather."""
+    mvx = jnp.repeat(jnp.repeat(mvx_cell, cell_rep, 0), cell_rep, 1)
+    mvy = jnp.repeat(jnp.repeat(mvy_cell, cell_rep, 0), cell_rep, 1)
+    slot = jnp.repeat(jnp.repeat(slot_cell, cell_rep, 0), cell_rep, 1)
+    fmask = (1 << frac_bits) - 1
+    phase = (mvy & fmask) * (fmask + 1) + (mvx & fmask)
+    iy = ((mvy >> frac_bits) + pad + tap_lo
+          + jnp.arange(H, dtype=jnp.int32)[:, None])
+    ix = ((mvx >> frac_bits) + pad + tap_lo
+          + jnp.arange(W, dtype=jnp.int32)[None, :])
+    return phases[slot, phase, iy, ix].astype(jnp.int32)
+
+
 def mc_frame(refstack, mv0x, mv0y, mv1x, mv1y, slot0, slot1, use_bi, lut,
              pad, frac_bits, cell_rep, H, W, tap_lo, has_bi):
-    """Uni + optional bi prediction with (p0+p1)>>1 averaging."""
-    p0 = mc_plane(refstack, mv0x, mv0y, slot0, lut, pad, frac_bits,
-                  cell_rep, H, W, tap_lo)
+    """Uni + optional bi prediction with (p0+p1)>>1 averaging.
+
+    The all-phase conv planes are computed once and shared between the
+    two prediction lists."""
+    phases = mc_phase_conv(refstack, lut, pad)
+    p0 = mc_gather_from_phases(phases, mv0x, mv0y, slot0, pad, frac_bits,
+                               cell_rep, H, W, tap_lo)
     if not has_bi:
         return p0
-    p1 = mc_plane(refstack, mv1x, mv1y, slot1, lut, pad, frac_bits,
-                  cell_rep, H, W, tap_lo)
+    p1 = mc_gather_from_phases(phases, mv1x, mv1y, slot1, pad, frac_bits,
+                               cell_rep, H, W, tap_lo)
     bi = jnp.repeat(jnp.repeat(use_bi, cell_rep, 0), cell_rep, 1)
     return jnp.where(bi, (p0 + p1) >> 1, p0)
 
