@@ -146,6 +146,14 @@ def mc_plane(refstack, mvx_cell, mvy_cell, slot_cell, lut, pad, frac_bits,
     return out.reshape(HC, WC, cs, cs).transpose(0, 2, 1, 3).reshape(H, W)
 
 
+def _cell_expand(a, rep):
+    """Expand per-cell values to pixels densely (broadcast+reshape;
+    jnp.repeat can lower to a gather on TPU)."""
+    hc, wc = a.shape
+    return jnp.broadcast_to(a[:, None, :, None], (hc, rep, wc, rep)) \
+        .reshape(hc * rep, wc * rep)
+
+
 def mc_phase_conv(refstack, lut, pad):
     """All-phase motion-compensation interpolation as one convolution.
 
@@ -172,9 +180,9 @@ def mc_phase_conv(refstack, lut, pad):
 def mc_gather_from_phases(phases, mvx_cell, mvy_cell, slot_cell, pad,
                           frac_bits, cell_rep, H, W, tap_lo):
     """Per-pixel selection from the all-phase conv planes: one gather."""
-    mvx = jnp.repeat(jnp.repeat(mvx_cell, cell_rep, 0), cell_rep, 1)
-    mvy = jnp.repeat(jnp.repeat(mvy_cell, cell_rep, 0), cell_rep, 1)
-    slot = jnp.repeat(jnp.repeat(slot_cell, cell_rep, 0), cell_rep, 1)
+    mvx = _cell_expand(mvx_cell, cell_rep)
+    mvy = _cell_expand(mvy_cell, cell_rep)
+    slot = _cell_expand(slot_cell, cell_rep)
     fmask = (1 << frac_bits) - 1
     phase = (mvy & fmask) * (fmask + 1) + (mvx & fmask)
     iy = ((mvy >> frac_bits) + pad + tap_lo
@@ -197,7 +205,7 @@ def mc_frame(refstack, mv0x, mv0y, mv1x, mv1y, slot0, slot1, use_bi, lut,
         return p0
     p1 = mc_gather_from_phases(phases, mv1x, mv1y, slot1, pad, frac_bits,
                                cell_rep, H, W, tap_lo)
-    bi = jnp.repeat(jnp.repeat(use_bi, cell_rep, 0), cell_rep, 1)
+    bi = _cell_expand(use_bi.astype(jnp.int32), cell_rep) != 0
     return jnp.where(bi, (p0 + p1) >> 1, p0)
 
 
@@ -268,63 +276,89 @@ def _edge_cond_y(dd, qr, qc, pr, pc, pos, vertical):
     return ~interior & (mv | cbp | intra)
 
 
-def _apply_delta_cols(rec, J, cond, tc):
-    """Filter vertical edges at columns J (shape [nJ]) where cond [H, nJ]."""
-    p1 = rec[:, J - 2]
-    p0 = rec[:, J - 1]
-    q0 = rec[:, J]
-    q1 = rec[:, J + 1]
+def _rep_rows(a, rep):
+    """Dense row-expansion (broadcast+reshape)."""
+    n, m = a.shape
+    return jnp.broadcast_to(a[:, None, :], (n, rep, m)).reshape(n * rep, m)
+
+
+def _deblock_pass_v(rec, cond, tc, H, W):
+    """Apply the 4-tap delta on all vertical edges at columns 8k.
+    cond: [H, W//8 - 1]. All accesses are dense reshape-strided."""
+    G = rec.reshape(H, W // 8, 8)
+    p1 = G[:, :-1, 6]
+    p0 = G[:, :-1, 7]
+    q0 = G[:, 1:, 0]
+    q1 = G[:, 1:, 1]
     delta = (18 * (q0 - p0) - 6 * (q1 - p1) + 16) >> 5
     delta = jnp.clip(delta, -tc, tc)
     dh = jnp.sign(delta) * (jnp.abs(delta) >> 1)
-    rec = rec.at[:, J - 2].set(jnp.where(cond, clip255(p1 + dh), p1))
-    rec = rec.at[:, J - 1].set(jnp.where(cond, clip255(p0 + delta), p0))
-    rec = rec.at[:, J].set(jnp.where(cond, clip255(q0 - delta), q0))
-    rec = rec.at[:, J + 1].set(jnp.where(cond, clip255(q1 - dh), q1))
-    return rec
+    G = G.at[:, :-1, 6].set(jnp.where(cond, clip255(p1 + dh), p1))
+    G = G.at[:, :-1, 7].set(jnp.where(cond, clip255(p0 + delta), p0))
+    G = G.at[:, 1:, 0].set(jnp.where(cond, clip255(q0 - delta), q0))
+    G = G.at[:, 1:, 1].set(jnp.where(cond, clip255(q1 - dh), q1))
+    return G.reshape(H, W)
 
 
 def deblock_luma(rec, dd, H: int, W: int, beta, tc):
     """Exact two-pass luma deblock; every edge within a pass is
     independent (filter reach +/-2 < edge spacing 8), so each pass is one
-    masked whole-plane update."""
-    # --- vertical edges ---
+    masked whole-plane update. All indexing is reshape-strided (dense)."""
     J = np.arange(8, W, 8)
     nJ = len(J)
-    r2 = rec[2::8, :]
-    r5 = rec[5::8, :]
-    d = (jnp.abs(r2[:, J - 2] - r2[:, J - 1]) + jnp.abs(r2[:, J + 1] - r2[:, J])
-         + jnp.abs(r5[:, J - 2] - r5[:, J - 1]) + jnp.abs(r5[:, J + 1] - r5[:, J]))
-    # [H/8, nJ] -> per 4-row cell group
+
+    # --- vertical edges ---
+    r2 = rec[2::8, :].reshape(H // 8, W // 8, 8)
+    r5 = rec[5::8, :].reshape(H // 8, W // 8, 8)
+    d = (jnp.abs(r2[:, :-1, 6] - r2[:, :-1, 7])
+         + jnp.abs(r2[:, 1:, 1] - r2[:, 1:, 0])
+         + jnp.abs(r5[:, :-1, 6] - r5[:, :-1, 7])
+         + jnp.abs(r5[:, 1:, 1] - r5[:, 1:, 0]))
     qc = jnp.asarray(J // 4)
     rows4 = jnp.arange(H // 4)
     cond4 = _edge_cond_y(dd, rows4[:, None], qc[None, :],
                          rows4[:, None], qc[None, :] - 1,
                          jnp.asarray(J)[None, :], True)
-    act = jnp.repeat(d < beta, 2, axis=0)          # [H/4, nJ]
-    cond = jnp.repeat(cond4 & act, 4, axis=0)      # [H, nJ]
-    rec = _apply_delta_cols(rec, jnp.asarray(J), cond, tc)
+    act = _rep_rows(d < beta, 2)                   # [H/4, nJ]
+    cond = _rep_rows(cond4 & act, 4)               # [H, nJ]
+    rec = _deblock_pass_v(rec, cond, tc, H, W)
 
     # --- horizontal edges (on the vertically-filtered plane) ---
     I = np.arange(8, H, 8)
-    c2 = rec[:, 2::8]
-    c5 = rec[:, 5::8]
-    d = (jnp.abs(c2[I - 2, :] - c2[I - 1, :]) + jnp.abs(c2[I + 1, :] - c2[I, :])
-         + jnp.abs(c5[I - 2, :] - c5[I - 1, :]) + jnp.abs(c5[I + 1, :] - c5[I, :]))
+    c2 = rec[:, 2::8].T.reshape(W // 8, H // 8, 8)
+    c5 = rec[:, 5::8].T.reshape(W // 8, H // 8, 8)
+    d = (jnp.abs(c2[:, :-1, 6] - c2[:, :-1, 7])
+         + jnp.abs(c2[:, 1:, 1] - c2[:, 1:, 0])
+         + jnp.abs(c5[:, :-1, 6] - c5[:, :-1, 7])
+         + jnp.abs(c5[:, 1:, 1] - c5[:, 1:, 0])).T   # [nI, W/8]
     qr = jnp.asarray(I // 4)
     cols4 = jnp.arange(W // 4)
     cond4 = _edge_cond_y(dd, qr[:, None], cols4[None, :],
                          qr[:, None] - 1, cols4[None, :],
                          jnp.asarray(I)[:, None], False)
-    act = jnp.repeat(d < beta, 2, axis=1)          # [nI, W/4]
-    cond = jnp.repeat(cond4 & act, 4, axis=1)      # [nI, W]
-    recT = _apply_delta_cols(rec.T, jnp.asarray(I), cond.T, tc)
+    act = _rep_rows((d < beta).T, 2).T             # [nI, W/4]
+    cond = _rep_rows((cond4 & act).T, 4).T         # [nI, W]
+    recT = _deblock_pass_v(rec.T, cond.T, tc, W, H)
     return recT.T
+
+
+def _deblock_pass_vc(recC, cond, tc, Hc, Wc):
+    """Chroma 2-tap vertical-edge pass at chroma columns 4k (dense)."""
+    G = recC.reshape(Hc, Wc // 4, 4)
+    p1 = G[:, :-1, 2]
+    p0 = G[:, :-1, 3]
+    q0 = G[:, 1:, 0]
+    q1 = G[:, 1:, 1]
+    delta = jnp.clip((4 * (q0 - p0) + (p1 - q1) + 4) >> 3, -tc, tc)
+    G = G.at[:, :-1, 3].set(jnp.where(cond, clip255(p0 + delta), p0))
+    G = G.at[:, 1:, 0].set(jnp.where(cond, clip255(q0 - delta), q0))
+    return G.reshape(Hc, Wc)
 
 
 def deblock_chroma(recC, dd, H: int, W: int, tc):
     """Chroma deblock (intra edges only, 2-tap delta). H/W are LUMA dims;
-    recC is the [H/2, W/2] chroma plane."""
+    recC is the [H/2, W/2] chroma plane. Dense reshape-strided accesses."""
+    Hc, Wc = H // 2, W // 2
     # vertical: luma edge cols J (mult of 8) -> chroma col J/2
     J = np.arange(8, W, 8)
     qc = jnp.asarray(J // 4)
@@ -333,15 +367,8 @@ def deblock_chroma(recC, dd, H: int, W: int, tc):
     mode = ((dd['mode'][rows8[:, None] * 2, qc[None, :] - 1] == 1)
             | (dd['mode'][rows8[:, None] * 2, qc[None, :]] == 1))
     interior = (jnp.asarray(J)[None, :] % q_size) > 0
-    cond = jnp.repeat(mode & ~interior, 4, axis=0)  # [H/2, nJ]
-    Jc = jnp.asarray(J // 2)
-    p1 = recC[:, Jc - 2]
-    p0 = recC[:, Jc - 1]
-    q0 = recC[:, Jc]
-    q1 = recC[:, Jc + 1]
-    delta = jnp.clip((4 * (q0 - p0) + (p1 - q1) + 4) >> 3, -tc, tc)
-    recC = recC.at[:, Jc - 1].set(jnp.where(cond, clip255(p0 + delta), p0))
-    recC = recC.at[:, Jc].set(jnp.where(cond, clip255(q0 - delta), q0))
+    cond = _rep_rows(mode & ~interior, 4)            # [H/2, nJ]
+    recC = _deblock_pass_vc(recC, cond, tc, Hc, Wc)
 
     # horizontal
     I = np.arange(8, H, 8)
@@ -351,16 +378,9 @@ def deblock_chroma(recC, dd, H: int, W: int, tc):
     mode = ((dd['mode'][qr[:, None] - 1, cols8[None, :] * 2] == 1)
             | (dd['mode'][qr[:, None], cols8[None, :] * 2] == 1))
     interior = (jnp.asarray(I)[:, None] % q_size) > 0
-    cond = jnp.repeat(mode & ~interior, 4, axis=1)  # [nI, W/2]
-    Ic = jnp.asarray(I // 2)
-    p1 = recC[Ic - 2, :]
-    p0 = recC[Ic - 1, :]
-    q0 = recC[Ic, :]
-    q1 = recC[Ic + 1, :]
-    delta = jnp.clip((4 * (q0 - p0) + (p1 - q1) + 4) >> 3, -tc, tc)
-    recC = recC.at[Ic - 1, :].set(jnp.where(cond, clip255(p0 + delta), p0))
-    recC = recC.at[Ic, :].set(jnp.where(cond, clip255(q0 - delta), q0))
-    return recC
+    cond = _rep_rows((mode & ~interior).T, 4)        # [W/2, nI]
+    recT = _deblock_pass_vc(recC.T, cond, tc, Wc, Hc)
+    return recT.T
 
 
 # ---------------------------------------------------------------------------
@@ -389,7 +409,7 @@ def clpf_plane(plane, mask8, dstride: int, H: int, W: int):
     neg = ((A < X).astype(jnp.int32) + (B < X) + (C < X) + (D < X)) > 2
     delta = pos.astype(jnp.int32) - neg.astype(jnp.int32)
     bs = H // mask8.shape[0]
-    m = jnp.repeat(jnp.repeat(mask8, bs, 0), bs, 1)
+    m = _cell_expand(mask8.astype(jnp.int32), bs) != 0
     return jnp.where(m, X + delta, X)
 
 
