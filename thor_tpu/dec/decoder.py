@@ -17,6 +17,35 @@ from .parse import FrameParser, SequenceHeader
 from .reconstruct_np import RefFrame, apply_clpf, reconstruct_frame
 
 
+_PAD_JIT = None
+
+
+def _edge_pad(p, n):
+    global _PAD_JIT
+    if _PAD_JIT is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        _PAD_JIT = partial(jax.jit, static_argnums=(1,))(
+            lambda a, k: jnp.pad(a, k, mode="edge"))
+    return _PAD_JIT(p, n)
+
+
+class _DeviceRef:
+    """Device-resident padded reference (the fast-path counterpart of
+    RefFrame): reconstruction stays on device and the padded planes are
+    produced by a jitted edge-pad, so the per-frame reference stack is a
+    device-side stack with no host round trip."""
+
+    __slots__ = ("frame_num", "y", "u", "v")
+
+    def __init__(self, y, u, v, frame_num):
+        self.frame_num = frame_num
+        self.y = _edge_pad(y, 96)
+        self.u = _edge_pad(u, 48)
+        self.v = _edge_pad(v, 48)
+
+
 class Decoder:
     def __init__(self, backend: str = "numpy", collect_stats: bool = False,
                  parse: str = "native"):
@@ -73,6 +102,10 @@ class Decoder:
     def decode_frame(self, br: BitReader):
         seq = self.seq
         ref_frame_nums = [r.frame_num for r in self.refs]
+        if self.parse_mode == "native" and self.backend == "jax":
+            # Fully vectorized fast path: C parse -> SoA -> device,
+            # no per-block Python objects.
+            return self._decode_frame_native_jax(br, ref_frame_nums)
         if self.parse_mode == "native":
             from .native_adapter import native_parse_to_syntax
             fs = native_parse_to_syntax(br.data, br.pos, seq,
@@ -109,6 +142,58 @@ class Decoder:
         # Sliding-window reference update (dec/decode_frame.c:135-147)
         self.refs = [RefFrame(y, u, v, fs.display_frame_num)] + self.refs[:-1]
         return y, u, v, fs.display_frame_num
+
+    def _decode_frame_native_jax(self, br: BitReader, ref_frame_nums):
+        import numpy as np
+        from ..native import parse_frame
+        from .native_adapter import seqhdr_from_python
+        from .native_inputs import build_frame_inputs_native
+        from .reconstruct_jax import _staged_frame
+
+        seq = self.seq
+        cs = seqhdr_from_python(seq)
+        nf = parse_frame(br.data, br.pos, cs, ref_frame_nums)
+        fh = nf.hdr
+        if fh.interp_ref_frame and fh.num_ref > 2 \
+                and fh.ref_array[0] == -1:
+            from ..ops.temporal_interp import interpolate_frames
+
+            class _HostRef:
+                def __init__(self, r):
+                    self.frame_num = r.frame_num
+                    self.y = np.asarray(r.y)
+                    self.u = np.asarray(r.u)
+                    self.v = np.asarray(r.v)
+
+            ref1 = _HostRef(self.refs[fh.ref_array[1]])
+            ref2 = _HostRef(self.refs[fh.ref_array[2]])
+            dfn = fh.display_frame_num
+            off1 = ref2.frame_num - dfn
+            off2 = dfn - ref1.frame_num
+            if off1 < 0 and off2 < 0:
+                off1, off2 = -off1, -off2
+            if off1 == off2:
+                off1 = off2 = 1
+            y, u, v = interpolate_frames(ref1, ref2, off1 + off2, off2)
+            self.interp_frame = RefFrame(y, u, v, dfn)
+        cfg, inp = build_frame_inputs_native(
+            nf, seq, self.refs, self.interp_frame, seq.deblocking)
+        yd, ud, vd = _staged_frame(cfg, inp)
+        y, u, v = np.asarray(yd), np.asarray(ud), np.asarray(vd)
+        if self.stats is not None:
+            ft = {0: "I", 1: "P", 2: "B"}[fh.stat_frame_type]
+            st = self.stats
+            st["frame_type"][ft] = st["frame_type"].get(ft, 0) + 1
+            st["frame_bits"][ft] = st["frame_bits"].get(ft, 0) + br.nbits
+            for m, c in zip(*np.unique(nf.mode, return_counts=True)):
+                st["mode"][(ft, int(m))] = \
+                    st["mode"].get((ft, int(m)), 0) + int(c)
+            for sz, c in zip(*np.unique(nf.size, return_counts=True)):
+                st["size"][(ft, int(sz))] = \
+                    st["size"].get((ft, int(sz)), 0) + int(c)
+        self.refs = [_DeviceRef(yd, ud, vd, fh.display_frame_num)] \
+            + self.refs[:-1]
+        return y, u, v, fh.display_frame_num
 
     def _make_interp_frame(self, fs):
         """Re-synthesize the interpolated reference

@@ -1,0 +1,358 @@
+"""Vectorized device-input builder over the native parse SoA output.
+
+The native C entropy layer emits struct-of-arrays block records; this
+module turns them into the batched device-program inputs with pure
+vectorized numpy (no per-block Python loops), completing the
+"serial parse -> SoA planes -> one device program" decode pipeline.
+Produces the same FrameConfig/input dict as the FrameSyntax-based
+builder, so all jitted stages are shared.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..codec.constants import (
+    BETA_TABLE, CHROMA_QP, GDEQUANT_TABLE, TC_TABLE)
+from .reconstruct_jax import FrameConfig, _pow2pad
+
+
+def _upright_available_v(ypos, xpos, size, width):
+    avail = (ypos > 0) & (xpos + size < width)
+    avail &= ~((size == 32) & (ypos % 64 == 32))
+    avail &= ~((size == 16) & ((ypos % 32 == 16)
+               | ((ypos % 64 == 32) & (xpos % 32 == 16))))
+    avail &= ~((size == 8) & ((ypos % 16 == 8)
+               | ((ypos % 32 == 16) & (xpos % 16 == 8))
+               | ((ypos % 64 == 32) & (xpos % 32 == 24))))
+    return avail
+
+
+def _downleft_available_v(ypos, xpos, size, height):
+    avail = (xpos > 0) & (ypos + size < height)
+    avail &= size != 64
+    avail &= ~((size == 32) & (ypos % 64 == 32))
+    avail &= ~((size == 16) & ((ypos % 64 == 48)
+               | ((ypos % 64 == 16) & (xpos % 32 == 16))))
+    avail &= ~((size == 8) & ((ypos % 64 == 56)
+               | ((ypos % 16 == 8) & (xpos % 16 == 8))
+               | ((ypos % 64 == 24) & (xpos % 32 == 16))))
+    return avail
+
+
+def _dq_arrays(qp, tsize_log2):
+    factor = GDEQUANT_TABLE[qp % 6].astype(np.int32) << (qp // 6)
+    rshift = tsize_log2 - 1
+    add = (1 << (rshift - 1)).astype(np.int32) if isinstance(rshift, np.ndarray) \
+        else np.int32(1 << (rshift - 1))
+    return factor, add, rshift
+
+
+def _gather_slabs(coeff_buf, offs, s):
+    """[N] offsets -> [N, s, s] int16 slabs."""
+    if len(offs) == 0:
+        return np.zeros((0, s, s), np.int16)
+    idx = offs[:, None] + np.arange(s * s, dtype=np.int64)[None, :]
+    return coeff_buf[idx].reshape(-1, s, s)
+
+
+class _Group:
+    __slots__ = ("coeff", "ys", "xs", "qp", "tlog2", "pl")
+
+    def __init__(self):
+        self.coeff = []
+        self.ys = []
+        self.xs = []
+        self.qp = []
+        self.tlog2 = []
+        self.pl = []
+
+    def add(self, coeff, ys, xs, qp, tlog2, pl=None):
+        if len(ys) == 0:
+            return
+        self.coeff.append(coeff)
+        self.ys.append(ys)
+        self.xs.append(xs)
+        self.qp.append(qp)
+        self.tlog2.append(np.full(len(ys), tlog2, np.int32))
+        if pl is not None:
+            self.pl.append(pl)
+
+    def pack(self, s, with_plane):
+        n = sum(len(y) for y in self.ys)
+        npad = _pow2pad(max(n, 1))
+        cs = 32 if s == 64 else s
+        coeff = np.zeros((npad, cs, cs), np.int16)
+        ys = np.zeros(npad, np.int32)
+        xs = np.zeros(npad, np.int32)
+        qp = np.zeros(npad, np.int32)
+        tl = np.full(npad, 3, np.int32)
+        pl = np.zeros(npad, np.int32)
+        if n:
+            coeff[:n] = np.concatenate(self.coeff)
+            ys[:n] = np.concatenate(self.ys)
+            xs[:n] = np.concatenate(self.xs)
+            qp[:n] = np.concatenate(self.qp)
+            tl[:n] = np.concatenate(self.tlog2)
+            if with_plane:
+                pl[:n] = np.concatenate(self.pl)
+        fac, add, rsh = _dq_arrays(qp, tl)
+        out = {"coeff": coeff, "y": ys, "x": xs, "f": fac,
+               "a": add.astype(np.int32) if isinstance(add, np.ndarray)
+               else np.full(npad, add, np.int32),
+               "sh": rsh.astype(np.int32)}
+        if with_plane:
+            out["pl"] = pl
+        return out, npad
+
+
+def _emit_plane_tus(g, coeff_buf, offs, sizes, ys, xs, qps, tb, nz_ok,
+                    plane_id=None):
+    """Emit residual TUs for one plane class from SoA block arrays.
+
+    tb: per-block bool (this plane uses a TB split); nz_ok: per-block
+    bool (cbp set / coefficients may be nonzero)."""
+    for s in (4, 8, 16, 32, 64):
+        sel = (sizes == s) & nz_ok
+        if not sel.any():
+            continue
+        sel_ntb = sel & ~tb
+        if sel_ntb.any():
+            slabs = _gather_slabs(coeff_buf, offs[sel_ntb], s)
+            nz = slabs.reshape(len(slabs), -1).any(axis=1)
+            pl = (np.full(int(nz.sum()), plane_id, np.int32)
+                  if plane_id is not None else None)
+            tl = 6 if s == 64 else s.bit_length() - 1
+            g.add(slabs[nz][:, :32, :32] if s == 64 else slabs[nz],
+                  ys[sel_ntb][nz], xs[sel_ntb][nz], qps[sel_ntb][nz],
+                  tl, pl)
+        sel_tb = sel & tb
+        if sel_tb.any():
+            s2 = s // 2
+            slabs = _gather_slabs(coeff_buf, offs[sel_tb], s)
+            q = slabs.reshape(-1, 2, s2, 2, s2).transpose(0, 1, 3, 2, 4) \
+                .reshape(-1, 4, s2, s2)
+            by = ys[sel_tb]
+            bx = xs[sel_tb]
+            qp = qps[sel_tb]
+            for k in range(4):
+                i, j = (k >> 1) & 1, k & 1
+                sub = q[:, k]
+                nz = sub.reshape(len(sub), -1).any(axis=1)
+                if not nz.any():
+                    continue
+                pl = (np.full(int(nz.sum()), plane_id, np.int32)
+                      if plane_id is not None else None)
+                g.add(sub[nz], by[nz] + i * s2, bx[nz] + j * s2, qp[nz],
+                      s2.bit_length() - 1, pl)
+
+
+def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
+    """NativeFrame -> (FrameConfig, device inputs), fully vectorized."""
+    W, H = seq.width, seq.height
+    fh = nf.hdr
+    dd = nf.dd
+    inp = {}
+
+    R = fh.num_ref
+    if R > 0:
+        Rpad = max(seq.max_num_ref + (1 if seq.interp_ref else 0), R)
+        planes = []
+        for i in range(R):
+            r = fh.ref_array[i]
+            planes.append(refs[r] if r >= 0 else interp_frame)
+        while len(planes) < Rpad:
+            planes.append(planes[0])
+        import jax
+        import jax.numpy as jnp
+        stack = jnp.stack if isinstance(planes[0].y, jax.Array) \
+            else np.stack
+        inp["refY"] = stack([p.y for p in planes])
+        inp["refU"] = stack([p.u for p in planes])
+        inp["refV"] = stack([p.v for p in planes])
+
+        fnum = np.array([p.frame_num for p in planes], np.int64)
+        cur = fh.display_frame_num
+        slot0 = np.clip(dd["ref_idx0"], 0, R - 1).astype(np.int32)
+        slot1 = np.clip(dd["ref_idx1"], 0, R - 1).astype(np.int32)
+        bi = dd["bipred_flag"] == 2
+        sign0 = np.where(bi, fnum[slot0] >= cur, fnum[slot0] > cur)
+        sign1 = fnum[slot1] >= cur
+        inp["mv0x"] = np.where(sign0, -dd["mv0x"], dd["mv0x"]).astype(np.int32)
+        inp["mv0y"] = np.where(sign0, -dd["mv0y"], dd["mv0y"]).astype(np.int32)
+        inp["mv1x"] = np.where(sign1, -dd["mv1x"], dd["mv1x"]).astype(np.int32)
+        inp["mv1y"] = np.where(sign1, -dd["mv1y"], dd["mv1y"]).astype(np.int32)
+        inp["slot0"] = slot0
+        inp["slot1"] = slot1
+        inp["use_bi"] = bi
+        R = Rpad
+    has_bi = R > 1 and bool(seq.bipred)
+
+    # --- residual TU groups ---
+    sizes = nf.size
+    ys, xs = nf.ypos, nf.xpos
+    qps = nf.qp
+    qpc = CHROMA_QP[qps].astype(np.int32)
+    tb = nf.tb_split.astype(bool)
+    tbc = tb & (sizes > 8)
+    cbp = nf.cbp
+    gy = _Group()
+    gc = _Group()
+    _emit_plane_tus(gy, nf.coeff_y, nf.coff_y, sizes, ys, xs, qps, tb,
+                    (cbp & 1) != 0)
+    _emit_plane_tus(gc, nf.coeff_u, nf.coff_u, sizes // 2, ys // 2,
+                    xs // 2, qpc, tbc, (cbp & 2) != 0, plane_id=0)
+    _emit_plane_tus(gc, nf.coeff_v, nf.coff_v, sizes // 2, ys // 2,
+                    xs // 2, qpc, tbc, (cbp & 4) != 0, plane_id=1)
+
+    # regroup per size for the staged kernels (64-blocks carry their
+    # 32x32 low-quadrant slabs but keep tr_log2size == 6, routing them
+    # to the replicating 64 stage)
+    groups_y, groups_c = [], []
+    for grp, name, with_pl, glist, sizes_list in (
+            (gy, "gy", False, groups_y, (4, 8, 16, 32, 64)),
+            (gc, "gc", True, groups_c, (4, 8, 16, 32))):
+        by_size = {}
+        for c_, y_, x_, q_, t_, p_ in zip(
+                grp.coeff, grp.ys, grp.xs, grp.qp, grp.tlog2,
+                grp.pl if with_pl else [None] * len(grp.coeff)):
+            s = 64 if (len(t_) and t_[0] == 6) else c_.shape[-1]
+            e = by_size.setdefault(s, _Group())
+            e.coeff.append(c_)
+            e.ys.append(y_)
+            e.xs.append(x_)
+            e.qp.append(q_)
+            e.tlog2.append(t_)
+            if with_pl:
+                e.pl.append(p_)
+        for s in sizes_list:
+            e = by_size.get(s, _Group())
+            packed, npad = e.pack(s, with_pl)
+            inp[f"{name}{s}"] = packed
+            glist.append((s, npad))
+
+    # --- intra TU records in decode order ---
+    n_iy = n_ic = 0
+    im = nf.mode == 1
+    ii = np.nonzero(im)[0]
+    if len(ii):
+        bsz = sizes[ii]
+        by, bx = ys[ii], xs[ii]
+        imod = nf.intra_mode[ii]
+        btb = tb[ii]
+        up = _upright_available_v(by, bx, bsz, W)
+        dl = _downleft_available_v(by, bx, bsz, H)
+
+        def mk(by, bx, bsz, btb, up, dl, cbx_base):
+            counts = np.where(btb, 4, 1)
+            offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            n = int(counts.sum())
+            ty = np.zeros(n, np.int32)
+            tx = np.zeros(n, np.int32)
+            sz = np.zeros(n, np.int32)
+            md = np.zeros(n, np.int32)
+            tl_ = np.zeros(n, np.int32)
+            ll = np.zeros(n, np.int32)
+            cbx = np.zeros(n, np.int32)
+            ntb = ~btb
+            ty[offs[ntb]] = by[ntb]
+            tx[offs[ntb]] = bx[ntb]
+            sz[offs[ntb]] = bsz[ntb]
+            md[offs[ntb]] = imod[ntb]
+            tl_[offs[ntb]] = bsz[ntb] + up[ntb]
+            ll[offs[ntb]] = bsz[ntb] + dl[ntb]
+            cbx[offs[ntb]] = cbx_base[ntb] > 0
+            if btb.any():
+                o = offs[btb]
+                s2 = bsz[btb] // 2
+                for k, (qi, qj) in enumerate(((0, 0), (0, 1), (1, 0),
+                                              (1, 1))):
+                    p = o + k
+                    ty[p] = by[btb] + qi * s2
+                    tx[p] = bx[btb] + qj * s2
+                    sz[p] = s2
+                    md[p] = imod[btb]
+                    upq = (qj == 0) | ((qi == 0) & up[btb])
+                    dlq = (qj == 0) & ((qi == 0) | dl[btb])
+                    tl_[p] = s2 + upq
+                    ll[p] = s2 + dlq
+                    cbx[p] = cbx_base[btb] > 0
+            return {"ty": ty, "tx": tx, "size": sz, "mode": md,
+                    "toplen": tl_, "leftlen": ll, "cbx_nonzero": cbx}, n
+
+        tuy, n_y = mk(by, bx, bsz, btb, up, dl, bx)
+        btbc = btb & (bsz > 8)
+        tuc, n_c = mk(by // 2, bx // 2, bsz // 2, btbc, up, dl, bx // 2)
+        n_iy, n_ic = n_y, n_c
+    else:
+        tuy = tuc = None
+
+    def pad_tu(t, n):
+        npad = _pow2pad(max(n, 1))
+        out = {}
+        for k, v in (t or {}).items():
+            a = np.full(npad, 4 if k in ("size", "toplen", "leftlen")
+                        else 0, np.int32)
+            a[:n] = v
+            out[k] = a
+        if t is None:
+            out = {k: np.full(npad, 4 if k in ("size", "toplen", "leftlen")
+                              else 0, np.int32)
+                   for k in ("ty", "tx", "size", "mode", "toplen",
+                             "leftlen", "cbx_nonzero")}
+        val = np.zeros(npad, np.int32)
+        val[:n] = 1
+        out["valid"] = val
+        return out, npad
+
+    inp["tuy"], n_iy = pad_tu(tuy, n_iy)
+    inp["tuc"], n_ic = pad_tu(tuc, n_ic)
+
+    if deblocking:
+        inp["dd"] = {k: dd[k] for k in
+                     ("size", "tb_split", "pb_part", "mode", "cbp_y",
+                      "mv0x", "mv0y", "mv1x", "mv1y")}
+        inp["beta"] = np.int32(BETA_TABLE[fh.qp])
+        inp["tc"] = np.int32(TC_TABLE[fh.qp])
+        inp["tcC"] = np.int32(TC_TABLE[CHROMA_QP[fh.qp]])
+
+    clpf_any = bool(seq.clpf)
+    if clpf_any:
+        inp["m8y"], inp["m8u"], inp["m8v"] = _clpf_masks_native(nf, W, H)
+
+    cfg = FrameConfig(
+        W=W, H=H, R=R, bipred_filter=int(seq.bipred), has_bi=has_bi,
+        deblocking=bool(deblocking), clpf=clpf_any,
+        groups_y=tuple(groups_y), groups_c=tuple(groups_c),
+        n_intra_y=n_iy, n_intra_c=n_ic)
+    return cfg, inp
+
+
+def _clpf_masks_native(nf, W, H):
+    """Vectorized CLPF application masks from the SoA side-info map."""
+    fh = nf.hdr
+    dd = nf.dd
+    h8, w8 = H // 8, W // 8
+    m8 = np.zeros((3, h8, w8), bool)
+    if not fh.clpf_frame_enable:
+        return m8[0], m8[1], m8[2]
+    notbi = dd["mode"][::2, ::2] != 3          # [h8, w8] at 8-px cells
+    cy = dd["cbp_y"][::2, ::2] > 0
+    cu = dd["cbp_u"][::2, ::2] > 0
+    cv = dd["cbp_v"][::2, ::2] > 0
+    anyc = notbi & (cy | cu | cv)
+    nsb_v, nsb_h = H // 64, W // 64
+    full8v, full8h = nsb_v * 8, nsb_h * 8
+    cand = anyc[:full8v, :full8h].reshape(nsb_v, 8, nsb_h, 8) \
+        .any(axis=(1, 3))
+    if fh.clpf_all:
+        on = cand
+    else:
+        bits = nf.clpf_bits.reshape(nsb_v, nsb_h)
+        on = cand & (bits == 1)
+    on8 = np.zeros((h8, w8), bool)
+    on8[:full8v, :full8h] = np.repeat(np.repeat(on, 8, 0), 8, 1)
+    m8y = on8 & notbi & cy
+    m8u = on8 & notbi & cu
+    m8v = on8 & notbi & cv
+    return m8y, m8u, m8v
