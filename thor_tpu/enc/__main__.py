@@ -39,7 +39,8 @@ def parse_args(argv):
         if a == "-cf":
             i += 2
             continue
-        name = a[1:]
+        # short aliases from the reference flag table (enc/strings.c:293-298)
+        name = {"n": "num_frames", "f": "frame_rate"}.get(a[1:], a[1:])
         if name in files:
             files[name] = args[i + 1]
             i += 2

@@ -83,6 +83,7 @@ class EncoderParams:
     snrcalc: int = 1
     use_block_contexts: int = 0
     enable_bipred: int = 0
+    device_encode: int = 0
 
     @classmethod
     def from_config_file(cls, path: str, **overrides):
@@ -509,8 +510,18 @@ class Encoder:
             w.putbits(6, r + 1)
         w.putbits(16, self.frame_num)
 
-        num_sb_hor = (self.width + MAX_BLOCK_SIZE - 1) // MAX_BLOCK_SIZE
-        num_sb_ver = (self.height + MAX_BLOCK_SIZE - 1) // MAX_BLOCK_SIZE
+        if p.device_encode and self.frame_type == I_FRAME:
+            from .device_intra import encode_intra_frame_device
+            y, u, v = encode_intra_frame_device(
+                self, w, self.org_y, self.org_u, self.org_v)
+            self.rec_y[:], self.rec_u[:], self.rec_v[:] = y, u, v
+            num_sb_ver = 0
+            num_sb_hor = 0
+        else:
+            num_sb_hor = (self.width + MAX_BLOCK_SIZE - 1) \
+                // MAX_BLOCK_SIZE
+            num_sb_ver = (self.height + MAX_BLOCK_SIZE - 1) \
+                // MAX_BLOCK_SIZE
         for k in range(num_sb_ver):
             for l in range(num_sb_hor):
                 self.reset_sb_state()
