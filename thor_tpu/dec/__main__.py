@@ -52,6 +52,30 @@ def main(argv=None):
           "  ".join(f"{k}:{v}" for k, v in sorted(st["frame_type"].items())))
     print("Bits by type:  ",
           "  ".join(f"{k}:{v}" for k, v in sorted(st["frame_bits"].items())))
+    # per-category bit report (dec/maindec.c:219-238)
+    cats = ("frame_header", "super_mode", "intra_mode", "mv", "skip_idx",
+            "coeff_y", "coeff_u", "coeff_v", "cbp", "clpf")
+    nf = {ft: st["frame_type"].get(ft, 0) for ft in ("I", "P", "B")}
+    print("\nBIT STATISTICS:")
+    print(f"Sequence header: {st['seq_header']:6d}")
+    print(f"{'':22s}" + "".join(
+        f"{ft + ' pictures:':>22s}" for ft in ("I", "P", "B")))
+    print(f"{'':22s}" + "      total    average" * 3)
+    tot = {ft: 0 for ft in ("I", "P", "B")}
+    for cat in cats:
+        row = f"{cat:<22s}"
+        for ft in ("I", "P", "B"):
+            v = st["cats"].get((ft, cat), 0)
+            tot[ft] += v
+            row += f"{v:11d}{v // max(nf[ft], 1):11d}"
+        print(row)
+    row = f"{'Total:':<22s}"
+    tot["I"] += st["seq_header"]
+    for ft in ("I", "P", "B"):
+        row += f"{tot[ft]:11d}{tot[ft] // max(nf[ft], 1):11d}"
+    print(row)
+
+    print("\nPARAMETER STATISTICS (8x8 units):")
     for ft in ("I", "P", "B"):
         modes = {mode_names[m]: c for (f, m), c in st["mode"].items()
                  if f == ft}

@@ -50,6 +50,9 @@ class Decoder:
     def __init__(self, backend: str = "numpy", collect_stats: bool = False,
                  parse: str = "native"):
         self.backend = backend
+        # detailed bit statistics need the instrumented Python parser
+        if collect_stats:
+            parse = "python"
         self.parse_mode = parse
         if parse == "native":
             try:
@@ -63,7 +66,8 @@ class Decoder:
         self._jax_ctx = None
         # Lightweight bit_count_t analogue (dec/maindec.c:197-329)
         self.stats = ({"frame_type": {}, "mode": {}, "size": {},
-                       "frame_bits": {}} if collect_stats else None)
+                       "frame_bits": {}, "cats": {}, "seq_header": 0}
+                      if collect_stats else None)
 
     def decode_stream(self, path: str):
         """Yield (y, u, v) frames in display order."""
@@ -77,6 +81,8 @@ class Decoder:
             br = BitReader(payload)
             if first:
                 self.seq = SequenceHeader.read(br)
+                if self.stats is not None:
+                    self.stats["seq_header"] = br.pos
                 self.refs = [RefFrame(
                     np.zeros((self.seq.height, self.seq.width), np.uint8),
                     np.zeros((self.seq.height // 2, self.seq.width // 2), np.uint8),
@@ -119,11 +125,16 @@ class Decoder:
             st = self.stats
             st["frame_type"][ft] = st["frame_type"].get(ft, 0) + 1
             st["frame_bits"][ft] = st["frame_bits"].get(ft, 0) + br.nbits
+            if fs.bit_cats:
+                for cat, v in fs.bit_cats.items():
+                    st["cats"][(ft, cat)] = st["cats"].get((ft, cat), 0) + v
             for b in fs.blocks:
+                # counts in 8x8 units like bit_count_t (dec/maindec.c:240+)
+                n8 = (b.bwidth // 8) * (b.bheight // 8)
                 key = (ft, b.mode)
-                st["mode"][key] = st["mode"].get(key, 0) + 1
+                st["mode"][key] = st["mode"].get(key, 0) + n8
                 skey = (ft, b.size)
-                st["size"][skey] = st["size"].get(skey, 0) + 1
+                st["size"][skey] = st["size"].get(skey, 0) + n8
 
         if fs.interp_ref_frame:
             self._make_interp_frame(fs)

@@ -107,6 +107,7 @@ class FrameSyntax:
     clpf_frame_enable: int = 0
     clpf_all: int = 0
     clpf_bits: Optional[np.ndarray] = None  # (sb_v, sb_h) -1 = no bit read
+    bit_cats: Optional[dict] = None          # per-category bit counts
 
 
 def read_mv(br: BitReader, mvp):
@@ -238,9 +239,14 @@ class FrameParser:
         self.br = br
         self.ref_frame_nums = ref_frame_nums
         self.dd = DeblockData(seq.width, seq.height)
+        # bit_count_t analogue (common/types.h:190-217, dec/maindec.c:197-329)
+        self.bits = dict.fromkeys(
+            ("frame_header", "super_mode", "intra_mode", "mv", "skip_idx",
+             "coeff_y", "coeff_u", "coeff_v", "cbp", "clpf"), 0)
 
     def parse(self) -> FrameSyntax:
         seq, br = self.seq, self.br
+        _hdr0 = br.pos
         frame_type = br.getbits(1)
         qp = br.getbits(8)
         num_intra_modes = br.getbits(4)
@@ -260,6 +266,7 @@ class FrameParser:
         else:
             num_ref = 0
         display_frame_num = br.getbits(16)
+        self.bits["frame_header"] += br.pos - _hdr0
 
         stat_frame_type = frame_type
         for r in ref_array:
@@ -288,11 +295,14 @@ class FrameParser:
         # CLPF signalling (dec/decode_frame.c:130-133): read AFTER the SB
         # loop; the actual filtering happens on device post-deblock.
         if seq.clpf:
+            _c0 = br.pos
             fs.clpf_frame_enable = br.getbits(1)
             if fs.clpf_frame_enable:
                 fs.clpf_all = br.getbits(1)
                 if not fs.clpf_all:
                     fs.clpf_bits = self._read_clpf_bits()
+            self.bits["clpf"] += br.pos - _c0
+        fs.bit_cats = dict(self.bits)
         return fs
 
     def _read_clpf_bits(self) -> np.ndarray:
@@ -332,7 +342,9 @@ class FrameParser:
             ypos, xpos, height, width, size, self.dd,
             bool(seq.use_block_contexts))
 
+        _s0 = self.br.pos
         split_flag = self.decode_super_mode(size, decode_this_size)
+        self.bits["super_mode"] += self.br.pos - _s0
 
         if (size == MAX_BLOCK_SIZE
                 and (split_flag or self.mode != MODE_SKIP)
@@ -444,6 +456,7 @@ class FrameParser:
             else:
                 cands = get_mv_merge(ypos, xpos, width, height, size, dd)
             num = len(cands)
+            _b0 = br.pos
             if num == 4:
                 skip_idx = br.getbits(2)
             elif num == 3:
@@ -452,6 +465,7 @@ class FrameParser:
                 skip_idx = br.getbits(1)
             else:
                 skip_idx = 0
+            self.bits["skip_idx"] += br.pos - _b0
             c = cands[skip_idx]
             rec.ref_idx0, rec.ref_idx1 = c.ref_idx0, c.ref_idx1
             mv_arr0 = [(c.mv0x, c.mv0y)] * 4
@@ -459,6 +473,7 @@ class FrameParser:
             rec.dir = c.bipred_flag
 
         elif mode == MODE_INTER:
+            _b0 = br.pos
             if seq.pb_split:
                 if br.getbits(1):
                     pb_part = 0
@@ -490,8 +505,10 @@ class FrameParser:
                 mv_arr[3] = read_mv(br, mv_arr[0])
             rec.ref_idx0 = rec.ref_idx1 = ref_idx
             rec.dir = 0
+            self.bits["mv"] += br.pos - _b0
 
         elif mode == MODE_BIPRED:
+            _b0 = br.pos
             mvp = get_mv_pred(ypos, xpos, width, height, size, dd)
             mvp2 = mvp
             # BIPRED_PART=0: pb_part always 0 (dec/read_bits.c:457-459)
@@ -516,8 +533,10 @@ class FrameParser:
                     rec.ref_idx0 = (code >> 2) & 3
                     rec.ref_idx1 = code & 3
             rec.dir = 2
+            self.bits["mv"] += br.pos - _b0
 
         elif mode == MODE_INTRA:
+            _b0 = br.pos
             n = fs.num_intra_modes
             if n <= 4:
                 intra_mode = br.getbits(2)
@@ -544,12 +563,15 @@ class FrameParser:
             rec.intra_mode = intra_mode
             rec.ref_idx0 = rec.ref_idx1 = 0
             rec.dir = -1
+            self.bits["intra_mode"] += br.pos - _b0
 
         # --- cbp + tb_split + coefficients ---
         sizeY, sizeC = size, size // 2
         tb_split = 0
         if mode != MODE_SKIP:
+            _b0 = br.pos
             code = get_vlc(0, br)
+            self.bits["cbp"] += br.pos - _b0
             if seq.tb_split_enable and mode in (MODE_INTRA, MODE_INTER):
                 tb_split = 1 if code == 2 else 0
                 if code > 2:
@@ -570,12 +592,19 @@ class FrameParser:
                         tmp = 1 - tmp
                 cbp_y, cbp_u, cbp_v = tmp & 1, (tmp >> 1) & 1, (tmp >> 2) & 1
                 rec.cbp = (cbp_y, cbp_u, cbp_v)
-                rec.coeff_y = (read_coeff(br, sizeY, coeff_block_type | 0)
-                               if cbp_y else np.zeros((sizeY, sizeY), np.int16))
-                rec.coeff_u = (read_coeff(br, sizeC, coeff_block_type | 1)
-                               if cbp_u else np.zeros((sizeC, sizeC), np.int16))
-                rec.coeff_v = (read_coeff(br, sizeC, coeff_block_type | 1)
-                               if cbp_v else np.zeros((sizeC, sizeC), np.int16))
+                def _cc(cat, flag, sz, ct):
+                    if not flag:
+                        return np.zeros((sz, sz), np.int16)
+                    b0 = br.pos
+                    c = read_coeff(br, sz, ct)
+                    self.bits[cat] += br.pos - b0
+                    return c
+                rec.coeff_y = _cc("coeff_y", cbp_y, sizeY,
+                                  coeff_block_type | 0)
+                rec.coeff_u = _cc("coeff_u", cbp_u, sizeC,
+                                  coeff_block_type | 1)
+                rec.coeff_v = _cc("coeff_v", cbp_v, sizeC,
+                                  coeff_block_type | 1)
             else:
                 # tb_split: coefficients stored as 4 quadrant sub-planes
                 # packed into the full-size plane in raster order of TUs
@@ -584,7 +613,9 @@ class FrameParser:
                 rec.coeff_v = np.zeros((sizeC, sizeC), np.int16)
                 if size > 8:
                     for index in range(4):
+                        _b0 = br.pos
                         code = get_vlc(0, br)
+                        self.bits["cbp"] += br.pos - _b0
                         tmp = 0
                         while code != CBP_TABLE[tmp] and tmp < 8:
                             tmp += 1
@@ -593,24 +624,30 @@ class FrameParser:
                         cy, cu, cv = tmp & 1, (tmp >> 1) & 1, (tmp >> 2) & 1
                         i, j = (index >> 1) & 1, index & 1
                         h2, c2 = sizeY // 2, sizeC // 2
-                        if cy:
-                            rec.coeff_y[i*h2:(i+1)*h2, j*h2:(j+1)*h2] = \
-                                read_coeff(br, h2, coeff_block_type | 0)
-                        if cu:
-                            rec.coeff_u[i*c2:(i+1)*c2, j*c2:(j+1)*c2] = \
-                                read_coeff(br, c2, coeff_block_type | 1)
-                        if cv:
-                            rec.coeff_v[i*c2:(i+1)*c2, j*c2:(j+1)*c2] = \
-                                read_coeff(br, c2, coeff_block_type | 1)
+                        for fl, cat, tgt, sz2, ct in (
+                                (cy, "coeff_y", rec.coeff_y, h2, 0),
+                                (cu, "coeff_u", rec.coeff_u, c2, 1),
+                                (cv, "coeff_v", rec.coeff_v, c2, 1)):
+                            if fl:
+                                _c0 = br.pos
+                                tgt[i*sz2:(i+1)*sz2, j*sz2:(j+1)*sz2] = \
+                                    read_coeff(br, sz2,
+                                               coeff_block_type | ct)
+                                self.bits[cat] += br.pos - _c0
                     rec.cbp = (1, 1, 1)
                 else:
                     h2 = sizeY // 2
                     for index in range(4):
+                        _b0 = br.pos
                         cy = br.getbits(1)
+                        self.bits["cbp"] += br.pos - _b0
                         i, j = (index >> 1) & 1, index & 1
                         if cy:
+                            _c0 = br.pos
                             rec.coeff_y[i*h2:(i+1)*h2, j*h2:(j+1)*h2] = \
                                 read_coeff(br, h2, coeff_block_type | 0)
+                            self.bits["coeff_y"] += br.pos - _c0
+                    _b0 = br.pos
                     if br.getbits(1):
                         cu = cv = 0
                     elif br.getbits(1):
@@ -619,10 +656,17 @@ class FrameParser:
                         cu, cv = 0, 1
                     else:
                         cu, cv = 1, 1
+                    self.bits["cbp"] += br.pos - _b0
                     if cu:
-                        rec.coeff_u = read_coeff(br, sizeC, coeff_block_type | 1)
+                        _c0 = br.pos
+                        rec.coeff_u = read_coeff(br, sizeC,
+                                                 coeff_block_type | 1)
+                        self.bits["coeff_u"] += br.pos - _c0
                     if cv:
-                        rec.coeff_v = read_coeff(br, sizeC, coeff_block_type | 1)
+                        _c0 = br.pos
+                        rec.coeff_v = read_coeff(br, sizeC,
+                                                 coeff_block_type | 1)
+                        self.bits["coeff_v"] += br.pos - _c0
                     rec.cbp = (1, 1, 1)
         else:
             rec.cbp = (0, 0, 0)
