@@ -410,10 +410,10 @@ def _jit_mc(H: int, W: int, bipred_filter: int, has_bi: bool):
 
 @lru_cache(maxsize=None)
 def _jit_intra_y(H: int, W: int):
-    def f(y, ry, tus):
+    def f(y, ry, waves):
         P = _pad_for_scan(y)[None]
         Rp = _pad_for_scan(ry)[None]
-        P = JK.intra_scan(P, Rp, tus)
+        P = JK.intra_wavefront(P, Rp, waves)
         return P[0, JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]
     return jax.jit(f)
 
@@ -422,10 +422,10 @@ def _jit_intra_y(H: int, W: int):
 def _jit_intra_c(H: int, W: int):
     Hc, Wc = H // 2, W // 2
 
-    def f(u, v, rc, tus):
+    def f(u, v, rc, waves):
         P = jnp.stack([_pad_for_scan(u), _pad_for_scan(v)])
         Rp = jnp.stack([_pad_for_scan(rc[0]), _pad_for_scan(rc[1])])
-        P = JK.intra_scan(P, Rp, tus)
+        P = JK.intra_wavefront(P, Rp, waves)
         return (P[0, JK.PADI:JK.PADI + Hc, JK.PADI:JK.PADI + Wc],
                 P[1, JK.PADI:JK.PADI + Hc, JK.PADI:JK.PADI + Wc])
     return jax.jit(f)
@@ -470,9 +470,10 @@ def _staged_frame(cfg: FrameConfig, inp):
         u = jnp.zeros((Hc, Wc), jnp.int32)
         v = jnp.zeros((Hc, Wc), jnp.int32)
     if cfg.n_intra_y:
-        y = _jit_intra_y(H, W)(y, ry, inp['tuy'])
+        y = _jit_intra_y(H, W)(y, ry, JK.schedule_wavefront(inp['tuy']))
     if cfg.n_intra_c:
-        u, v = _jit_intra_c(H, W)(u, v, rc, inp['tuc'])
+        u, v = _jit_intra_c(H, W)(u, v, rc,
+                                  JK.schedule_wavefront(inp['tuc']))
     zero = np.int32(0)
     zmask = np.zeros((1, 1), bool)
     return _jit_filters(H, W, cfg.deblocking, cfg.clpf)(

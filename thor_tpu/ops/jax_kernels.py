@@ -585,6 +585,137 @@ def intra_scan(plane_pad, resid_pad, tus):
     return P
 
 
+def schedule_wavefront(tus, l_bucket=64, m_bucket=True):
+    """Host-side wavefront scheduling of intra TUs.
+
+    The sequential scan is the one raster dependency in the decoder;
+    but a TU only depends on the TUs covering its top row / left column
+    context (make_top_and_left, common/intra_prediction.c:57-143), so
+    TUs can be grouped into dependency levels and each level
+    reconstructed as one batched step. Dependency levels are computed
+    exactly from each TU's context reach (toplen/leftlen) on a 4-px
+    cell map, so mixed TU sizes and the up-right/down-left
+    availability windows are honored.
+
+    tus: dict of [N] numpy arrays (decode order). Returns dict of
+    [L, M] arrays (level-major), padded with valid=0 entries; L is
+    rounded to a multiple of l_bucket and M to a power of two so
+    compiled programs are shared across frames.
+    """
+    ty, tx, sz = tus["ty"], tus["tx"], tus["size"]
+    toplen, leftlen = tus["toplen"], tus["leftlen"]
+    valid = np.asarray(tus["valid"]) != 0
+    idx = np.nonzero(valid)[0]
+    n = len(np.asarray(ty))
+    lvl = np.zeros(n, np.int32)
+    if len(idx):
+        gh = int((np.asarray(ty)[idx] + np.asarray(sz)[idx]).max()) // 4 + 2
+        gw = int((np.asarray(tx)[idx] + np.asarray(toplen)[idx]).max()) \
+            // 4 + 2
+        cells = np.zeros((gh, gw), np.int32)
+        for t in idx:
+            y0, x0, s = int(ty[t]), int(tx[t]), int(sz[t])
+            tl_, ll_ = int(toplen[t]), int(leftlen[t])
+            lev = 0
+            if y0 > 0:
+                r = (y0 - 1) // 4
+                c0 = max(x0 - 1, 0) // 4
+                c1 = min((x0 + tl_ - 1) // 4, gw - 1)
+                lev = int(cells[r, c0:c1 + 1].max())
+            if x0 > 0:
+                c = (x0 - 1) // 4
+                r0 = y0 // 4
+                r1 = min((y0 + ll_ - 1) // 4, gh - 1)
+                lev = max(lev, int(cells[r0:r1 + 1, c].max()))
+            lev += 1
+            lvl[t] = lev
+            cells[y0 // 4:(y0 + s) // 4, x0 // 4:(x0 + s) // 4] = lev
+    nlev = int(lvl.max()) if len(idx) else 0
+    counts = np.bincount(lvl[idx], minlength=nlev + 1) if len(idx) \
+        else np.zeros(1, np.int64)
+    m = int(counts.max()) if len(idx) else 1
+    if m_bucket:
+        m = max(8, 1 << (m - 1).bit_length())
+    L = max(l_bucket, -(-nlev // l_bucket) * l_bucket)
+    out = {k: np.zeros((L, m), np.int32) for k in
+           ("ty", "tx", "size", "mode", "toplen", "leftlen",
+            "cbx_nonzero", "valid")}
+    out["size"][:] = 4
+    out["toplen"][:] = 4
+    out["leftlen"][:] = 4
+    fill = np.zeros(nlev + 1, np.int32)
+    for t in idx:
+        le = lvl[t] - 1
+        s = fill[le]
+        fill[le] = s + 1
+        for k in out:
+            out[k][le, s] = tus[k][t]
+    return out
+
+
+def intra_wavefront(plane_pad, resid_pad, waves):
+    """Wavefront-batched intra reconstruction: lax.scan over dependency
+    LEVELS (not TUs); within a level all TUs reconstruct in one
+    vmapped step. Bit-exact with intra_scan by construction (levels
+    from schedule_wavefront honor every context dependency; TU regions
+    within a level are disjoint).
+
+    Measured on TPU v5e (1080p I-frame: 5079 TUs -> 640 levels x 32
+    slots): ~24 ms/level, dominated by intra_predict under vmap --
+    vmapped lax.switch executes all 10 mode branches and the diagonal
+    modes' 128-buffer index gathers lower poorly. The known next step
+    is a one-hot-matmul batched predictor (pred as a static per-(size,
+    mode) selection matrix applied to the 257-sample context vector on
+    the MXU), which removes the per-mode gathers entirely."""
+    i, j = _ij()
+
+    def step(P, tu):
+        ty, tx, size, mode = tu["ty"], tu["tx"], tu["size"], tu["mode"]
+        toplen, leftlen = tu["toplen"], tu["leftlen"]
+        cbx, valid = tu["cbx_nonzero"], tu["valid"]
+
+        def per_tu(ty, tx, size, mode, toplen, leftlen, cbx):
+            def one_plane(Pp, Rp):
+                trow = lax.dynamic_slice(
+                    Pp, (PADI + ty - 1, PADI + tx - 1), (1, 130))[0]
+                lcol = lax.dynamic_slice(
+                    Pp, (PADI + ty, PADI + tx - 1), (128, 1))[:, 0]
+                k = jnp.arange(128, dtype=jnp.int32)
+                top = jnp.where(ty == 0, 128,
+                                trow[1 + jnp.minimum(k, toplen - 1)])
+                left = jnp.where(tx == 0, 128,
+                                 lcol[jnp.minimum(k, leftlen - 1)])
+                tl = jnp.where(ty == 0, left[0],
+                               jnp.where(cbx != 0, trow[0], top[0]))
+                pred = intra_predict(left, top, tl, ty, tx, size, mode)
+                res = lax.dynamic_slice(Rp, (PADI + ty, PADI + tx),
+                                        (64, 64))
+                return clip255(pred + res)
+            return jax.vmap(one_plane)(P, resid_pad)      # [C,64,64]
+
+        tiles = jax.vmap(per_tu)(ty, tx, size, mode, toplen, leftlen,
+                                 cbx)                      # [M,C,64,64]
+        m = ((i[None] < size[:, None, None])
+             & (j[None] < size[:, None, None])
+             & (valid[:, None, None] != 0))
+
+        # apply tiles with in-place dynamic updates (a big-plane scatter
+        # would copy the multi-MB carry every level)
+        def put(t, P):
+            old = lax.dynamic_slice(
+                P, (0, PADI + ty[t], PADI + tx[t]),
+                (P.shape[0], 64, 64))
+            new = jnp.where(m[t][None], tiles[t], old)
+            return lax.dynamic_update_slice(
+                P, new, (0, PADI + ty[t], PADI + tx[t]))
+
+        P = lax.fori_loop(0, tiles.shape[0], put, P)
+        return P, None
+
+    P, _ = lax.scan(step, plane_pad, waves)
+    return P
+
+
 # ---------------------------------------------------------------------------
 # Encoder-side batched kernels
 # ---------------------------------------------------------------------------
