@@ -91,3 +91,26 @@ def test_idct_parity():
         for i in range(6):
             want = NK.inverse_transform(c[i], s)
             assert np.array_equal(got[i].astype(np.int16), want), s
+
+
+def test_intra_predict_static_parity():
+    """The gather-free static-size path of intra_predict must equal the
+    dynamic path bit for bit for every (size, mode)."""
+    rng = np.random.RandomState(5)
+    for s in (4, 8, 16, 32, 64):
+        dyn_fn = jax.jit(lambda l, t, c, y, x, sz, m: JK.intra_predict(
+            l, t, c, y, x, sz, m))
+        sta_fn = jax.jit(lambda l, t, c, y, x, m, s=s: JK.intra_predict(
+            l, t, c, y, x, s, m))
+        for mode in range(10):
+            for _ in range(3):
+                left = rng.randint(0, 256, 128).astype(np.int32)
+                top = rng.randint(0, 256, 128).astype(np.int32)
+                tl = np.int32(rng.randint(0, 256))
+                ty = np.int32(rng.randint(0, 50) * 8)
+                tx = np.int32(rng.randint(0, 50) * 8)
+                dyn = np.asarray(dyn_fn(left, top, tl, ty, tx,
+                                        np.int32(s), np.int32(mode)))
+                sta = np.asarray(sta_fn(left, top, tl, ty, tx,
+                                        np.int32(mode)))
+                assert np.array_equal(dyn[:s, :s], sta[:s, :s]), (s, mode)

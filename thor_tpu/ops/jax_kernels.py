@@ -539,8 +539,141 @@ def intra_predict(left, top, tl, ty, tx, size, mode):
 
     fns = [f_dc, f_planar, f_hor, f_ver, f_upleft, f_upright, f_upupright,
            f_upupleft, f_upleftleft, f_downleftleft]
+    if isinstance(size, (int, np.integer)):
+        # static-size call sites (wavefront decode, device encoder):
+        # the diagonal modes' per-pixel index gathers lower to
+        # ~80 ns/element scalar loops on TPU, so with a compile-time
+        # size they are replaced by dense static-slice constructions
+        # (Hankel/Toeplitz layouts). Bit-equality with the dynamic
+        # branches is covered by tests/test_kernels.py.
+        s_ = int(size)
+        fns = [f_dc, f_planar, f_hor, f_ver] + [
+            (lambda m_: lambda _: _pad64(
+                _intra_diag_static(left, top, tl, s_, m_)))(m_)
+            for m_ in range(4, 10)]
     mode_idx = jnp.where(mode >= 10, 0, mode)
     return lax.switch(mode_idx, fns, None)
+
+
+def _pad64(p):
+    s = p.shape[0]
+    return jnp.pad(p, ((0, 64 - s), (0, 64 - s))) if s < 64 else p
+
+
+def _rows(vec, starts, n):
+    """Stack rows vec[st:st+n] for static starts (pure slices)."""
+    return jnp.stack([lax.slice_in_dim(vec, st, st + n) for st in starts])
+
+
+def _intra_diag_static(left, top, tl, s, mode):
+    """Modes 4..9 with python-int size: gather-free [s, s] prediction.
+
+    Bit-equal to the dynamic branches of intra_predict (randomized
+    parity test in tests/test_kernels.py + the golden decode suite)."""
+    leftF = _filt121(left, s)
+    topF = _filt121(top, s)
+    leftF2 = _filt121(left, 2 * s)
+    topF2 = _filt121(top, 2 * s)
+    tlF = (2 * tl + left[0] + top[0] + 2) >> 2
+
+    if mode == 5:    # UPRIGHT: pred[i,j] = topF2[i+j+1]
+        return _rows(topF2, [i + 1 for i in range(s)], s)
+
+    if mode == 6:    # UPUPRIGHT: diag = i+2j, parity fixed per row
+        rows = []
+        for i in range(s):
+            if i & 1:
+                rows.append(lax.slice_in_dim(topF2, (i + 1) // 2,
+                                             (i + 1) // 2 + s))
+            else:
+                a = lax.slice_in_dim(topF2, i // 2, i // 2 + s)
+                b = lax.slice_in_dim(topF2, i // 2 + 1, i // 2 + 1 + s)
+                rows.append((a + b) >> 1)
+        return jnp.stack(rows)
+
+    if mode == 9:    # DOWNLEFTLEFT: mirror of UPUPRIGHT on columns
+        lf = jnp.concatenate(
+            [lax.slice_in_dim(leftF2, 0, 2 * s),
+             lax.slice_in_dim(leftF2, 2 * s - 1, 2 * s)])
+        cols = []
+        for j in range(s):
+            if j & 1:
+                cols.append(lax.slice_in_dim(leftF2, (j + 1) // 2,
+                                             (j + 1) // 2 + s))
+            else:
+                a = lax.slice_in_dim(lf, j // 2, j // 2 + s)
+                b = lax.slice_in_dim(lf, j // 2 + 1, j // 2 + 1 + s)
+                cols.append((a + b) >> 1)
+        return jnp.stack(cols, axis=1)
+
+    if mode == 4:    # UPLEFT: toeplitz over (reversed leftF | tlF | topF)
+        buf = jnp.concatenate(
+            [lax.rev(lax.slice_in_dim(leftF, 0, s), (0,)),
+             jnp.reshape(tlF, (1,)).astype(leftF.dtype),
+             lax.slice_in_dim(topF, 0, s)])
+        # row i: buf[s-i+k]; k==i hits tlF, k<i left side, k>i top side
+        return _rows(buf, [s - i for i in range(s)], s)
+
+    if mode == 7:    # UPUPLEFT: diag = i-2j
+        # per row i: left side (d>=2) is a reversed stride-2 slice of
+        # leftF; one boundary element; the top side has fixed nd
+        # parity per row -> plain slices of the clamped topF
+        topFe = jnp.concatenate(
+            [lax.slice_in_dim(topF, 0, s),
+             lax.slice_in_dim(topF, s - 1, s)])    # clamp hi at s-1
+        topFm1 = jnp.concatenate(
+            [lax.slice_in_dim(topF, 0, 1), lax.slice_in_dim(topFe, 0, s)])
+        rows = []
+        for i in range(s):
+            n1 = i // 2                       # j count with d >= 2
+            parts = []
+            if n1:
+                asc = lax.slice(leftF, (i - 2 * n1,), (i - 1,), (2,))
+                parts.append(lax.rev(asc, (0,)))
+            if i & 1:
+                parts.append(jnp.reshape(tlF, (1,)).astype(leftF.dtype))
+            else:
+                parts.append(jnp.reshape((tlF + topF[0]) >> 1,
+                                         (1,)).astype(leftF.dtype))
+            n2 = s - 1 - n1
+            if n2:
+                if i & 1:                     # nd odd: topFe[j-(i+1)//2]
+                    parts.append(lax.slice_in_dim(topFe, 0, n2))
+                else:                         # nd even: avg with prev
+                    a = lax.slice_in_dim(topFe, 1, 1 + n2)
+                    b = lax.slice_in_dim(topFm1, 1, 1 + n2)
+                    parts.append((a + b) >> 1)
+            rows.append(jnp.concatenate(parts))
+        return jnp.stack(rows)
+
+    # mode == 8, UPLEFTLEFT: diag = 2i-j (transpose-mirror of mode 7)
+    leftFe = jnp.concatenate(
+        [lax.slice_in_dim(leftF, 0, s),
+         lax.slice_in_dim(leftF, s - 1, s)])
+    leftFm1 = jnp.concatenate(
+        [lax.slice_in_dim(leftF, 0, 1), lax.slice_in_dim(leftFe, 0, s)])
+    cols = []
+    for j in range(s):
+        n1 = j // 2                           # i count with -d >= 2
+        parts = []
+        if n1:
+            asc = lax.slice(topF, (j - 2 * n1,), (j - 1,), (2,))
+            parts.append(lax.rev(asc, (0,)))
+        if j & 1:
+            parts.append(jnp.reshape(tlF, (1,)).astype(topF.dtype))
+        else:
+            parts.append(jnp.reshape((tlF + leftF[0]) >> 1,
+                                     (1,)).astype(topF.dtype))
+        n2 = s - 1 - n1
+        if n2:
+            if j & 1:
+                parts.append(lax.slice_in_dim(leftFe, 0, n2))
+            else:
+                a = lax.slice_in_dim(leftFe, 1, 1 + n2)
+                b = lax.slice_in_dim(leftFm1, 1, 1 + n2)
+                parts.append((a + b) >> 1)
+        cols.append(jnp.concatenate(parts))
+    return jnp.stack(cols, axis=1)
 
 
 def intra_scan(plane_pad, resid_pad, tus):
@@ -630,26 +763,41 @@ def schedule_wavefront(tus, l_bucket=64, m_bucket=True):
             lev += 1
             lvl[t] = lev
             cells[y0 // 4:(y0 + s) // 4, x0 // 4:(x0 + s) // 4] = lev
-    nlev = int(lvl.max()) if len(idx) else 0
-    counts = np.bincount(lvl[idx], minlength=nlev + 1) if len(idx) \
-        else np.zeros(1, np.int64)
-    m = int(counts.max()) if len(idx) else 1
+    # split each level into uniform-size sub-levels: inside the device
+    # step the TU size is then a compile-time constant, so every intra
+    # index map is constant and the diagonal modes take the gather-free
+    # static-slice path of intra_predict (data-dependent gathers run
+    # ~80 ns/element on the scalar unit - measured via xplane trace)
+    sublevels = []          # (size, [tu indices])
+    if len(idx):
+        nlev = int(lvl.max())
+        by_level = [[] for _ in range(nlev + 1)]
+        for t in idx:
+            by_level[lvl[t]].append(t)
+        for le in range(1, nlev + 1):
+            group = {}
+            for t in by_level[le]:
+                group.setdefault(int(sz[t]), []).append(t)
+            for ssz in sorted(group):
+                sublevels.append((ssz, group[ssz]))
+    m = max((len(g) for _, g in sublevels), default=1)
     if m_bucket:
         m = max(8, 1 << (m - 1).bit_length())
-    L = max(l_bucket, -(-nlev // l_bucket) * l_bucket)
+    nsub = len(sublevels)
+    L = max(l_bucket, -(-max(nsub, 1) // l_bucket) * l_bucket)
     out = {k: np.zeros((L, m), np.int32) for k in
            ("ty", "tx", "size", "mode", "toplen", "leftlen",
             "cbx_nonzero", "valid")}
     out["size"][:] = 4
     out["toplen"][:] = 4
     out["leftlen"][:] = 4
-    fill = np.zeros(nlev + 1, np.int32)
-    for t in idx:
-        le = lvl[t] - 1
-        s = fill[le]
-        fill[le] = s + 1
-        for k in out:
-            out[k][le, s] = tus[k][t]
+    out["lsize"] = np.full(L, 4, np.int32)    # per-level uniform size
+    for le, (ssz, group) in enumerate(sublevels):
+        out["lsize"][le] = ssz
+        for slot, t in enumerate(group):
+            for k in ("ty", "tx", "size", "mode", "toplen", "leftlen",
+                      "cbx_nonzero", "valid"):
+                out[k][le, slot] = tus[k][t]
     return out
 
 
@@ -668,36 +816,51 @@ def intra_wavefront(plane_pad, resid_pad, waves):
     mode) selection matrix applied to the 257-sample context vector on
     the MXU), which removes the per-mode gathers entirely."""
     i, j = _ij()
+    SIZES = (4, 8, 16, 32, 64)
 
     def step(P, tu):
-        ty, tx, size, mode = tu["ty"], tu["tx"], tu["size"], tu["mode"]
+        ty, tx, mode = tu["ty"], tu["tx"], tu["mode"]
         toplen, leftlen = tu["toplen"], tu["leftlen"]
         cbx, valid = tu["cbx_nonzero"], tu["valid"]
 
-        def per_tu(ty, tx, size, mode, toplen, leftlen, cbx):
-            def one_plane(Pp, Rp):
-                trow = lax.dynamic_slice(
-                    Pp, (PADI + ty - 1, PADI + tx - 1), (1, 130))[0]
-                lcol = lax.dynamic_slice(
-                    Pp, (PADI + ty, PADI + tx - 1), (128, 1))[:, 0]
-                k = jnp.arange(128, dtype=jnp.int32)
-                top = jnp.where(ty == 0, 128,
-                                trow[1 + jnp.minimum(k, toplen - 1)])
-                left = jnp.where(tx == 0, 128,
-                                 lcol[jnp.minimum(k, leftlen - 1)])
-                tl = jnp.where(ty == 0, left[0],
-                               jnp.where(cbx != 0, trow[0], top[0]))
-                pred = intra_predict(left, top, tl, ty, tx, size, mode)
-                res = lax.dynamic_slice(Rp, (PADI + ty, PADI + tx),
-                                        (64, 64))
-                return clip255(pred + res)
-            return jax.vmap(one_plane)(P, resid_pad)      # [C,64,64]
+        def branch(s):
+            # s is a python constant: intra_predict takes its
+            # gather-free static-slice path
+            def br(_):
+                def per_tu(ty, tx, mode, toplen, leftlen, cbx):
+                    def one_plane(Pp, Rp):
+                        trow = lax.dynamic_slice(
+                            Pp, (PADI + ty - 1, PADI + tx - 1),
+                            (1, 130))[0]
+                        lcol = lax.dynamic_slice(
+                            Pp, (PADI + ty, PADI + tx - 1),
+                            (128, 1))[:, 0]
+                        k = jnp.arange(128, dtype=jnp.int32)
+                        top = jnp.where(
+                            ty == 0, 128,
+                            trow[1 + jnp.minimum(k, toplen - 1)])
+                        left = jnp.where(
+                            tx == 0, 128,
+                            lcol[jnp.minimum(k, leftlen - 1)])
+                        tl = jnp.where(
+                            ty == 0, left[0],
+                            jnp.where(cbx != 0, trow[0], top[0]))
+                        pred = intra_predict(left, top, tl, ty, tx, s,
+                                             mode)
+                        res = lax.dynamic_slice(
+                            Rp, (PADI + ty, PADI + tx), (64, 64))
+                        return clip255(pred + res)
+                    return jax.vmap(one_plane)(P, resid_pad)  # [C,64,64]
+                tiles = jax.vmap(per_tu)(ty, tx, mode, toplen, leftlen,
+                                         cbx)                 # [M,C,..]
+                msk = ((i < s) & (j < s))[None] \
+                    & (valid[:, None, None] != 0)
+                return tiles, msk
+            return br
 
-        tiles = jax.vmap(per_tu)(ty, tx, size, mode, toplen, leftlen,
-                                 cbx)                      # [M,C,64,64]
-        m = ((i[None] < size[:, None, None])
-             & (j[None] < size[:, None, None])
-             & (valid[:, None, None] != 0))
+        sidx = jnp.searchsorted(jnp.asarray(SIZES, jnp.int32),
+                                tu["lsize"]).astype(jnp.int32)
+        tiles, m = lax.switch(sidx, [branch(s) for s in SIZES], None)
 
         # apply tiles with in-place dynamic updates (a big-plane scatter
         # would copy the multi-MB carry every level)
