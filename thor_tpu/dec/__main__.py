@@ -75,6 +75,23 @@ def main(argv=None):
         row += f"{tot[ft]:11d}{tot[ft] // max(nf[ft], 1):11d}"
     print(row)
 
+    # size x mode cross tables (dec/maindec.c:253-266)
+    from ..codec.constants import (
+        MODE_SKIP as _SK, MODE_INTRA as _IN, MODE_INTER as _IR,
+        MODE_BIPRED as _BI, MODE_MERGE as _MG)
+    for ft in ("P", "B"):
+        if not any(f == ft for (f, _, _) in st["size_mode"]):
+            continue
+        print(f"\nMode and size distribution for {ft} pictures:")
+        print(f"{'':22s}{'SKIP':>9s}  {'INTRA':>9s}  {'INTER':>9s}  "
+              f"{'BIPRED':>9s}  {'MERGE':>9s}")
+        for sz in (8, 16, 32, 64):
+            row = f"{sz}x{sz}-blocks (8x8):"
+            row = f"{row:<22s}"
+            for md in (_SK, _IN, _IR, _BI, _MG):
+                row += f"{st['size_mode'].get((ft, sz, md), 0):9d}  "
+            print(row.rstrip())
+
     print("\nPARAMETER STATISTICS (8x8 units):")
     for ft in ("I", "P", "B"):
         modes = {mode_names[m]: c for (f, m), c in st["mode"].items()

@@ -66,8 +66,8 @@ class Decoder:
         self._jax_ctx = None
         # Lightweight bit_count_t analogue (dec/maindec.c:197-329)
         self.stats = ({"frame_type": {}, "mode": {}, "size": {},
-                       "frame_bits": {}, "cats": {}, "seq_header": 0}
-                      if collect_stats else None)
+                       "size_mode": {}, "frame_bits": {}, "cats": {},
+                       "seq_header": 0} if collect_stats else None)
 
     def decode_stream(self, path: str):
         """Yield (y, u, v) frames in display order."""
@@ -135,6 +135,8 @@ class Decoder:
                 st["mode"][key] = st["mode"].get(key, 0) + n8
                 skey = (ft, b.size)
                 st["size"][skey] = st["size"].get(skey, 0) + n8
+                smkey = (ft, b.size, b.mode)
+                st["size_mode"][smkey] = st["size_mode"].get(smkey, 0) + n8
 
         if fs.interp_ref_frame:
             self._make_interp_frame(fs)
