@@ -8,6 +8,14 @@ Must run before the first `import jax` anywhere in the test process.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compilation cache: golden-stream decodes re-jit per shape
+# class; caching across runs keeps the default suite fast.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
