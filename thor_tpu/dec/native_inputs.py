@@ -15,6 +15,7 @@ import numpy as np
 from ..codec.constants import (
     BETA_TABLE, CHROMA_QP, GDEQUANT_TABLE, TC_TABLE)
 from .reconstruct_jax import FrameConfig, _pow2pad
+from ..ops.pallas_mc import build_mc_records
 
 
 def _upright_available_v(ypos, xpos, size, width):
@@ -147,6 +148,76 @@ def _emit_plane_tus(g, coeff_buf, offs, sizes, ys, xs, qps, tb, nz_ok,
                       s2.bit_length() - 1, pl)
 
 
+def build_mc_pus_native(nf, R, fnum, cur, W, H):
+    """Per-prediction-unit MC params from the native block records.
+
+    Expands each coded block into its prediction units (PB partitions,
+    enc/encode_block.c PART_*), clips border blocks to the frame, and
+    sign-folds MVs exactly as the cell-map path does. Intra blocks emit
+    a zero-MV slot-0 PU so the record set tiles the frame (their pixels
+    are overwritten by the intra scan, matching the gather path's
+    behavior on dd's zeroed intra cells).
+
+    Returns a dict of luma-coordinate arrays for
+    ops/pallas_mc.build_mc_records.
+    """
+    y0, x0, size = nf.ypos, nf.xpos, nf.size
+    mode = nf.mode
+    pbp = nf.dd["pb_part"][y0 // 4, x0 // 4]
+    pbp = np.where(mode == 2, pbp, 0)            # only INTER has PBs
+    bi = nf.dir == 2
+    slot0 = np.clip(nf.ref_idx0, 0, R - 1).astype(np.int64)
+    slot1 = np.clip(nf.ref_idx1, 0, R - 1).astype(np.int64)
+    intra = mode == 1
+    slot0 = np.where(intra, 0, slot0)
+    slot1 = np.where(intra, 0, slot1)
+    sign0 = np.where(bi, fnum[slot0] >= cur, fnum[slot0] > cur)
+    sign1 = fnum[slot1] >= cur
+
+    out = {k: [] for k in ("y0", "x0", "h", "w", "slot0", "mvx0",
+                           "mvy0", "bi", "slot1", "mvx1", "mvy1")}
+    # quadrant k participates for these pb_part values, with PB dims
+    # and offsets in half-size units
+    quads = {0: ((0,), [(0, 0, 2, 2)]),
+             1: ((0, 2), [(0, 0, 1, 2), (1, 0, 1, 2)]),
+             2: ((0, 1), [(0, 0, 2, 1), (0, 1, 2, 1)]),
+             3: ((0, 1, 2, 3), [(0, 0, 1, 1), (0, 1, 1, 1),
+                                (1, 0, 1, 1), (1, 1, 1, 1)])}
+    for part, (ks, geoms) in quads.items():
+        sel = np.nonzero(pbp == part)[0]
+        if not len(sel):
+            continue
+        s2 = size[sel] // 2
+        for k, (qi, qj, gh, gw) in zip(ks, geoms):
+            py = y0[sel] + qi * s2
+            px = x0[sel] + qj * s2
+            ph = np.minimum(gh * s2, H - py)
+            pw = np.minimum(gw * s2, W - px)
+            keep = (ph > 0) & (pw > 0)
+            if not keep.any():
+                continue
+            kk = sel[keep]
+            mvx0 = np.where(sign0[kk], -nf.mv0x[kk, k], nf.mv0x[kk, k])
+            mvy0 = np.where(sign0[kk], -nf.mv0y[kk, k], nf.mv0y[kk, k])
+            mvx0 = np.where(intra[kk], 0, mvx0)
+            mvy0 = np.where(intra[kk], 0, mvy0)
+            mvx1 = np.where(sign1[kk], -nf.mv1x[kk, k], nf.mv1x[kk, k])
+            mvy1 = np.where(sign1[kk], -nf.mv1y[kk, k], nf.mv1y[kk, k])
+            out["y0"].append(py[keep])
+            out["x0"].append(px[keep])
+            out["h"].append(ph[keep])
+            out["w"].append(pw[keep])
+            out["slot0"].append(slot0[kk])
+            out["mvx0"].append(mvx0)
+            out["mvy0"].append(mvy0)
+            out["bi"].append(bi[kk].astype(np.int64))
+            out["slot1"].append(slot1[kk])
+            out["mvx1"].append(mvx1)
+            out["mvy1"].append(mvy1)
+    return {k: (np.concatenate(v) if v else np.zeros(0, np.int64))
+            for k, v in out.items()}
+
+
 def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
     """NativeFrame -> (FrameConfig, device inputs), fully vectorized."""
     W, H = seq.width, seq.height
@@ -187,6 +258,23 @@ def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
         inp["use_bi"] = bi
         R = Rpad
     has_bi = R > 1 and bool(seq.bipred)
+
+    mc_my = mc_mc = 0
+    if R > 0:
+        from .reconstruct_jax import use_pallas_mc
+        if use_pallas_mc():
+            pus = build_mc_pus_native(nf, fh.num_ref, fnum, cur, W, H)
+            recs_y, cnt_y = build_mc_records(
+                pus, H, W, pad=96, frac_bits=2, tap_lo=-2, TH=64, TW=128)
+            pus_c = dict(pus)
+            for k in ("y0", "x0", "h", "w"):
+                pus_c[k] = pus[k] // 2
+            recs_c, cnt_c = build_mc_records(
+                pus_c, H // 2, W // 2, pad=48, frac_bits=3, tap_lo=-1,
+                TH=32, TW=128)
+            inp["mc_recs_y"], inp["mc_cnt_y"] = recs_y, cnt_y
+            inp["mc_recs_c"], inp["mc_cnt_c"] = recs_c, cnt_c
+            mc_my, mc_mc = recs_y.shape[1], recs_c.shape[1]
 
     # --- residual TU groups ---
     sizes = nf.size
@@ -324,7 +412,7 @@ def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
         W=W, H=H, R=R, bipred_filter=int(seq.bipred), has_bi=has_bi,
         deblocking=bool(deblocking), clpf=clpf_any,
         groups_y=tuple(groups_y), groups_c=tuple(groups_c),
-        n_intra_y=n_iy, n_intra_c=n_ic)
+        n_intra_y=n_iy, n_intra_c=n_ic, mc_my=mc_my, mc_mc=mc_mc)
     return cfg, inp
 
 

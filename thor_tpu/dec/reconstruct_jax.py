@@ -39,6 +39,8 @@ class FrameConfig(NamedTuple):
     groups_c: Tuple[Tuple[int, int], ...]
     n_intra_y: int              # padded intra TU counts (0 = skip stage)
     n_intra_c: int
+    mc_my: int = 0              # PU-record bucket sizes for the Pallas
+    mc_mc: int = 0              # MC kernel (0 = use the gather path)
 
 
 def _pow2pad(n: int) -> int:
@@ -408,6 +410,36 @@ def _jit_mc(H: int, W: int, bipred_filter: int, has_bi: bool):
     return jax.jit(f)
 
 
+def use_pallas_mc() -> bool:
+    """Pallas block-MC on real TPUs; gather path elsewhere. Override
+    with THOR_PALLAS_MC=1/0 (1 off-TPU implies interpret mode)."""
+    import os
+    v = os.environ.get("THOR_PALLAS_MC")
+    if v is not None:
+        return v not in ("0", "")
+    return jax.default_backend() == "tpu"
+
+
+@lru_cache(maxsize=None)
+def _jit_mc_pallas(H: int, W: int, bipred_filter: int, My: int, Mc: int,
+                   interpret: bool):
+    from ..ops import pallas_mc as PM
+    lutY = JK.build_luma_mc_lut(bipred_filter)
+    lutC = JK.build_chroma_mc_lut()
+    Hc, Wc = H // 2, W // 2
+
+    def f(refY, refU, refV, recs_y, cnt_y, recs_c, cnt_c, ry, rc):
+        py = PM.mc_frame_pallas(refY, recs_y, cnt_y, lutY, H, W,
+                                64, 128, interpret)
+        pu = PM.mc_frame_pallas(refU, recs_c, cnt_c, lutC, Hc, Wc,
+                                32, 128, interpret)
+        pv = PM.mc_frame_pallas(refV, recs_c, cnt_c, lutC, Hc, Wc,
+                                32, 128, interpret)
+        return (JK.clip255(py + ry), JK.clip255(pu + rc[0]),
+                JK.clip255(pv + rc[1]))
+    return jax.jit(f)
+
+
 @lru_cache(maxsize=None)
 def _jit_intra_y(H: int, W: int):
     def f(y, ry, waves):
@@ -460,7 +492,13 @@ def _staged_frame(cfg: FrameConfig, inp):
         g = inp[f'gc{s}']
         rc = _jit_resid_c(s)(rc, g['coeff'], g['f'], g['a'], g['sh'],
                              g['y'], g['x'], g['pl'])
-    if cfg.R > 0:
+    if cfg.R > 0 and cfg.mc_my > 0 and 'mc_recs_y' in inp:
+        y, u, v = _jit_mc_pallas(
+            H, W, cfg.bipred_filter, cfg.mc_my, cfg.mc_mc,
+            jax.default_backend() != 'tpu')(
+            inp['refY'], inp['refU'], inp['refV'], inp['mc_recs_y'],
+            inp['mc_cnt_y'], inp['mc_recs_c'], inp['mc_cnt_c'], ry, rc)
+    elif cfg.R > 0:
         y, u, v = _jit_mc(H, W, cfg.bipred_filter, cfg.has_bi)(
             inp['refY'], inp['refU'], inp['refV'], inp['mv0x'],
             inp['mv0y'], inp['mv1x'], inp['mv1y'], inp['slot0'],
