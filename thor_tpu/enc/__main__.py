@@ -20,51 +20,26 @@ from ..utils.snr import snr_yuv
 
 
 def parse_args(argv):
+    """Defaults -> config file(s) -> command line, with the reference
+    parse_params semantics incl. recursive -cf and fatal unknown flags
+    (enc/strings.c:137-265, 340-356)."""
+    from .encoder import FLOAT_PARAMS, apply_args
     params = EncoderParams()
     files = {"if": None, "of": None, "rf": None, "stat": None}
-    # config files first, in order (recursive -cf like the reference)
-    i = 0
-    args = list(argv)
-    while i < len(args):
-        if args[i] == "-cf":
-            cfg = EncoderParams.from_config_file(args[i + 1])
-            for f_ in cfg.__dataclass_fields__:
-                setattr(params, f_, getattr(cfg, f_))
-            i += 2
-        else:
-            i += 1
-    i = 0
-    while i < len(args):
-        a = args[i]
-        if a == "-cf":
-            i += 2
-            continue
-        # short aliases from the reference flag table (enc/strings.c:293-298)
-        name = {"n": "num_frames", "f": "frame_rate"}.get(a[1:], a[1:])
-        if name in files:
-            files[name] = args[i + 1]
-            i += 2
-        elif hasattr(params, name):
-            cur = getattr(params, name)
-            val = args[i + 1]
-            setattr(params, name, type(cur)(float(val))
-                    if isinstance(cur, int) else type(cur)(val))
-            i += 2
-        else:
-            print(f"Unknown parameter: {a}", file=sys.stderr)
-            i += 1
+    apply_args(list(argv), params, files)
     # float32 semantics (see EncoderParams.from_config_file)
-    for f_ in ("frame_rate", "lambda_coeffI", "lambda_coeffP",
-               "lambda_coeffB", "lambda_coeffB0", "lambda_coeffB1",
-               "lambda_coeffB2", "lambda_coeffB3", "early_skip_thr",
-               "mqpP", "mqpB", "mqpB0", "mqpB1", "mqpB2", "mqpB3"):
+    for f_ in FLOAT_PARAMS:
         setattr(params, f_, float(np.float32(getattr(params, f_))))
     return params, files
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    params, files = parse_args(argv)
+    try:
+        params, files = parse_args(argv)
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return 1
     if not files["if"] or not files["of"]:
         print("need -if <input.yuv> and -of <output.bit>", file=sys.stderr)
         return 1

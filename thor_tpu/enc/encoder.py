@@ -83,38 +83,121 @@ class EncoderParams:
     snrcalc: int = 1
     use_block_contexts: int = 0
     enable_bipred: int = 0
+    file_headerlen: int = 0     # -ph (enc/strings.c:288)
+    frame_headerlen: int = 0    # -fh (enc/strings.c:289)
     device_encode: int = 0
 
     @classmethod
     def from_config_file(cls, path: str, **overrides):
-        """Parse a reference -cf config file (enc/strings.c:64-123):
-        `-flag value ; comment` lines."""
+        """Parse a reference -cf config file (enc/strings.c:64-123,
+        137-265): whitespace tokens, `;` comments to end of line,
+        quoted strings, recursive nested -cf includes."""
         p = cls()
-        with open(path) as f:
-            for line in f:
-                line = line.split(";")[0].strip()
-                if not line:
-                    continue
-                toks = line.split()
-                if len(toks) < 2 or not toks[0].startswith("-"):
-                    continue
-                name = toks[0][1:]
-                if not hasattr(p, name):
-                    continue
-                cur = getattr(p, name)
-                setattr(p, name, type(cur)(float(toks[1]))
-                        if isinstance(cur, int) else type(cur)(toks[1]))
+        apply_args(config_tokens(path), p, {})
         for k, v in overrides.items():
             setattr(p, k, v)
         # The reference stores ARG_FLOAT params as C float (32-bit,
         # enc/mainenc.h:48-71); round-trip through float32 so products
         # like lambda_coeffP * squared_lambda_QP match bit for bit.
-        for f in ("frame_rate", "lambda_coeffI", "lambda_coeffP",
-                  "lambda_coeffB", "lambda_coeffB0", "lambda_coeffB1",
-                  "lambda_coeffB2", "lambda_coeffB3", "early_skip_thr",
-                  "mqpP", "mqpB", "mqpB0", "mqpB1", "mqpB2", "mqpB3"):
+        for f in FLOAT_PARAMS:
             setattr(p, f, float(np.float32(getattr(p, f))))
         return p
+
+
+# ARG_FLOAT params (enc/strings.c:298-306, 320-325)
+FLOAT_PARAMS = (
+    "frame_rate", "lambda_coeffI", "lambda_coeffP", "lambda_coeffB",
+    "lambda_coeffB0", "lambda_coeffB1", "lambda_coeffB2",
+    "lambda_coeffB3", "early_skip_thr", "mqpP", "mqpB", "mqpB0",
+    "mqpB1", "mqpB2", "mqpB3")
+
+# Flags whose name differs from the EncoderParams field
+# (enc/strings.c:286-298)
+FLAG_ALIAS = {"-n": "num_frames", "-f": "frame_rate",
+              "-ph": "file_headerlen", "-fh": "frame_headerlen"}
+FILE_FLAGS = {"-if": "if", "-of": "of", "-rf": "rf", "-stat": "stat"}
+
+
+def config_tokens(path: str):
+    """Tokenize a config file exactly like read_config_file
+    (enc/strings.c:64-123): whitespace-separated tokens; a token
+    starting with `;` discards the rest of its line; `"..."` reads a
+    string up to the closing quote, comma or newline."""
+    toks = []
+    with open(path) as f:
+        for line in f:
+            i, n = 0, len(line)
+            while i < n:
+                while i < n and line[i].isspace():
+                    i += 1
+                if i >= n:
+                    break
+                if line[i] == ';':
+                    break
+                if line[i] == '"':
+                    j = i + 1
+                    while j < n and line[j] not in '",\n':
+                        j += 1
+                    toks.append(line[i + 1:j])
+                    i = j + 1
+                else:
+                    j = i
+                    while j < n and not line[j].isspace():
+                        j += 1
+                    toks.append(line[i:j])
+                    i = j
+    return toks
+
+
+def _atoi(s: str) -> int:
+    """C atoi: leading integer prefix, 0 if none."""
+    s = s.strip()
+    m = 0
+    sign = 1
+    i = 0
+    if i < len(s) and s[i] in "+-":
+        sign = -1 if s[i] == "-" else 1
+        i += 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    if j > i:
+        m = int(s[i:j])
+    return sign * m
+
+
+def apply_args(args, params: "EncoderParams", files: dict):
+    """Apply a flag token stream to (params, files) with the reference
+    parse_params semantics (enc/strings.c:137-265): recursive -cf,
+    unknown parameters are fatal (ValueError)."""
+    i = 0
+    n = len(args)
+    while i < n:
+        a = args[i]
+        if a == "-cf":
+            if i + 1 >= n:
+                raise ValueError("No filename found for parameter: -cf")
+            apply_args(config_tokens(args[i + 1]), params, files)
+            i += 2
+            continue
+        if a in FILE_FLAGS:
+            if i + 1 >= n:
+                raise ValueError(f"No filename found for parameter: {a}")
+            files[FILE_FLAGS[a]] = args[i + 1]
+            i += 2
+            continue
+        name = FLAG_ALIAS.get(a, a[1:] if a.startswith("-") else "")
+        if not name or name.startswith("_") or \
+                name not in params.__dataclass_fields__:
+            raise ValueError(f"Unknown parameter: {a}")
+        if i + 1 >= n:
+            raise ValueError(f"No value found for parameter: {a}")
+        val = args[i + 1]
+        if name in FLOAT_PARAMS:
+            setattr(params, name, float(np.float32(float(val))))
+        else:
+            setattr(params, name, _atoi(val))
+        i += 2
 
 
 class RefFrame:
@@ -937,14 +1020,20 @@ def _reorder_frame_offset(idx, sub_gop, dyadic):
     return 0 if idx == 0 else idx - sub_gop
 
 
-def read_yuv_frames(path, width, height, num_frames=None):
+def read_yuv_frames(path, width, height, num_frames=None,
+                    file_headerlen=0, frame_headerlen=0):
     """Read frames from a planar 4:2:0 file (the whole file by default -
     the sequence loop needs the true input length for its end-of-clip
-    sub-GOP degradation, enc/mainenc.c:586-590)."""
+    sub-GOP degradation, enc/mainenc.c:586-590). file/frame_headerlen
+    mirror -ph/-fh: a one-time file header plus a per-frame header are
+    skipped (enc/mainenc.c:510)."""
     ysz, csz = width * height, (width // 2) * (height // 2)
     fsz = ysz + 2 * csz
     with open(path, "rb") as f:
+        f.seek(file_headerlen)
         while num_frames is None or num_frames > 0:
+            if frame_headerlen:
+                f.seek(frame_headerlen, 1)
             buf = f.read(fsz)
             if len(buf) < fsz:
                 return
