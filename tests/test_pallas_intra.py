@@ -1,0 +1,94 @@
+"""Bit-exactness of the Pallas intra-scan kernel vs ops/jax_kernels.
+
+Random quadtree-like intra TU tilings (decode order, random modes,
+availability flags and residuals) run through both
+ops/pallas_intra.intra_scan_pallas (interpret mode) and
+ops/jax_kernels.intra_scan (the sequential scan proven bit-exact
+against reference Thordec on the golden streams in round 1).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from thor_tpu.ops import jax_kernels as JK
+from thor_tpu.ops.pallas_intra import (SIZES_C, SIZES_Y,
+                                       build_intra_records,
+                                       intra_scan_pallas)
+
+
+def _random_tiling(rng, H, W, min_s, max_s):
+    """Random aligned power-of-2 tiling in quadtree decode order."""
+    tus = []
+
+    def split(y, x, s):
+        if s > min_s and rng.random() < 0.5:
+            h = s // 2
+            for dy in (0, h):
+                for dx in (0, h):
+                    split(y + dy, x + dx, h)
+        else:
+            tus.append((y, x, s))
+
+    for y in range(0, H, max_s):
+        for x in range(0, W, max_s):
+            split(y, x, max_s)
+    return tus
+
+
+def _gen_tus(rng, H, W, min_s, max_s):
+    tiles = _random_tiling(rng, H, W, min_s, max_s)
+    n = len(tiles)
+    ty = np.array([t[0] for t in tiles], np.int32)
+    tx = np.array([t[1] for t in tiles], np.int32)
+    size = np.array([t[2] for t in tiles], np.int32)
+    # availability extensions: up-right only if room to the right,
+    # down-left only if room below (mimics emit_intra's up/dl flags)
+    up = (tx + size < W) & (rng.integers(0, 2, n) == 1)
+    dl = (ty + size < H) & (rng.integers(0, 2, n) == 1)
+    return {
+        "ty": ty,
+        "tx": tx,
+        "size": size,
+        "mode": rng.integers(0, 10, n).astype(np.int32),
+        "toplen": (size + up).astype(np.int32),
+        "leftlen": (size + dl).astype(np.int32),
+        "cbx_nonzero": np.where(tx > 0,
+                                rng.integers(0, 2, n), 0).astype(np.int32),
+        "valid": np.ones(n, np.int32),
+    }
+
+
+@pytest.mark.parametrize("plane,seed", [
+    ("luma", 0), ("chroma", 0),
+    pytest.param("luma", 1, marks=pytest.mark.slow),
+    pytest.param("chroma", 2, marks=pytest.mark.slow)])
+def test_pallas_intra_matches_scan(plane, seed):
+    rng = np.random.default_rng(seed)
+    if plane == "luma":
+        C, H, W, SIZES = 1, 128, 192, SIZES_Y
+        tus = _gen_tus(rng, H, W, min_s=4, max_s=64)
+    else:
+        C, H, W, SIZES = 2, 64, 96, SIZES_C
+        tus = _gen_tus(rng, H, W, min_s=4, max_s=32)
+
+    planes = rng.integers(0, 256, (C, H, W)).astype(np.int32)
+    resid = rng.integers(-512, 512, (C, H, W)).astype(np.int32)
+
+    def pad(a):
+        return jnp.pad(jnp.asarray(a),
+                       ((0, 0), (JK.PADI, JK.PADE), (JK.PADI, JK.PADE)))
+
+    tus_j = {k: jnp.asarray(v) for k, v in tus.items()}
+    Pw = JK.intra_scan(pad(planes), pad(resid), tus_j)
+    want = np.asarray(
+        Pw[:, JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W])
+
+    recs, cnt = build_intra_records(tus, SIZES, K=64)
+    got = np.asarray(intra_scan_pallas(
+        jnp.asarray(planes), jnp.asarray(resid),
+        jnp.asarray(recs), jnp.asarray(cnt), SIZES, interpret=True))
+
+    assert (got == want).all(), \
+        f"mismatch at {np.argwhere(got != want)[:8]}"

@@ -76,6 +76,7 @@ class Decoder:
         reorder: dict = {}
         last_output = -1
         decoded = 0
+        pending = None
 
         for payload in frames:
             br = BitReader(payload)
@@ -93,15 +94,23 @@ class Decoder:
             y, u, v, display_num = self.decode_frame(br)
             decoded += 1
             reorder[display_num % MAX_REORDER_BUFFER] = (y, u, v)
+            # Materialize one frame behind the decode so the previous
+            # frame's device->host transfer (started asynchronously by
+            # the jax path) overlaps this frame's device compute.
+            if pending is not None:
+                yield tuple(np.asarray(p) for p in pending)
+                pending = None
             nxt = (last_output + 1) % MAX_REORDER_BUFFER
             if nxt in reorder:
                 last_output += 1
-                yield reorder.pop(nxt)
+                pending = reorder.pop(nxt)
 
+        if pending is not None:
+            yield tuple(np.asarray(p) for p in pending)
         for i in range(1, MAX_REORDER_BUFFER + 1):
             nxt = (last_output + i) % MAX_REORDER_BUFFER
             if nxt in reorder:
-                yield reorder.pop(nxt)
+                yield tuple(np.asarray(p) for p in reorder.pop(nxt))
             else:
                 break
 
@@ -192,7 +201,9 @@ class Decoder:
         cfg, inp = build_frame_inputs_native(
             nf, seq, self.refs, self.interp_frame, seq.deblocking)
         yd, ud, vd = _staged_frame(cfg, inp)
-        y, u, v = np.asarray(yd), np.asarray(ud), np.asarray(vd)
+        for a in (yd, ud, vd):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
         if self.stats is not None:
             ft = {0: "I", 1: "P", 2: "B"}[fh.stat_frame_type]
             st = self.stats
@@ -206,7 +217,7 @@ class Decoder:
                     st["size"].get((ft, int(sz)), 0) + int(c)
         self.refs = [_DeviceRef(yd, ud, vd, fh.display_frame_num)] \
             + self.refs[:-1]
-        return y, u, v, fh.display_frame_num
+        return yd, ud, vd, fh.display_frame_num
 
     def _make_interp_frame(self, fs):
         """Re-synthesize the interpolated reference

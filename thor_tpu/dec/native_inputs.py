@@ -396,6 +396,15 @@ def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
     inp["tuy"], n_iy = pad_tu(tuy, n_iy)
     inp["tuc"], n_ic = pad_tu(tuc, n_ic)
 
+    from .reconstruct_jax import use_pallas_intra
+    if (tuy is not None) and use_pallas_intra():
+        from ..ops.pallas_intra import (SIZES_C, SIZES_Y,
+                                        build_intra_records)
+        inp["it_recs_y"], inp["it_cnt_y"] = build_intra_records(
+            inp["tuy"], SIZES_Y)
+        inp["it_recs_c"], inp["it_cnt_c"] = build_intra_records(
+            inp["tuc"], SIZES_C)
+
     if deblocking:
         inp["dd"] = {k: dd[k] for k in
                      ("size", "tb_split", "pb_part", "mode", "cbp_y",

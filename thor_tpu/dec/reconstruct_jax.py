@@ -440,6 +440,29 @@ def _jit_mc_pallas(H: int, W: int, bipred_filter: int, My: int, Mc: int,
     return jax.jit(f)
 
 
+def use_pallas_intra() -> bool:
+    """Pallas whole-scan intra kernel on real TPUs; XLA wavefront
+    elsewhere. Override with THOR_PALLAS_INTRA=1/0 (1 off-TPU implies
+    interpret mode)."""
+    import os
+    v = os.environ.get("THOR_PALLAS_INTRA")
+    if v is not None:
+        return v not in ("0", "")
+    return jax.default_backend() == "tpu"
+
+
+@lru_cache(maxsize=None)
+def _jit_intra_pallas(H: int, W: int, C: int, nchunks: int, K: int,
+                      luma: bool, interpret: bool):
+    from ..ops import pallas_intra as PI
+    SIZES = PI.SIZES_Y if luma else PI.SIZES_C
+
+    def f(planes, resid, recs, cnt):
+        return PI.intra_scan_pallas(planes, resid, recs, cnt, SIZES,
+                                    interpret=interpret)
+    return jax.jit(f)
+
+
 @lru_cache(maxsize=None)
 def _jit_intra_y(H: int, W: int):
     def f(y, ry, waves):
@@ -507,11 +530,26 @@ def _staged_frame(cfg: FrameConfig, inp):
         y = jnp.zeros((H, W), jnp.int32)
         u = jnp.zeros((Hc, Wc), jnp.int32)
         v = jnp.zeros((Hc, Wc), jnp.int32)
+    pi_interp = jax.default_backend() != 'tpu'
     if cfg.n_intra_y:
-        y = _jit_intra_y(H, W)(y, ry, JK.schedule_wavefront(inp['tuy']))
+        if 'it_recs_y' in inp:
+            recs, cnt = inp['it_recs_y'], inp['it_cnt_y']
+            y = _jit_intra_pallas(H, W, 1, recs.shape[0], recs.shape[1],
+                                  True, pi_interp)(
+                y[None], ry[None], recs, cnt)[0]
+        else:
+            y = _jit_intra_y(H, W)(y, ry,
+                                   JK.schedule_wavefront(inp['tuy']))
     if cfg.n_intra_c:
-        u, v = _jit_intra_c(H, W)(u, v, rc,
-                                  JK.schedule_wavefront(inp['tuc']))
+        if 'it_recs_c' in inp:
+            recs, cnt = inp['it_recs_c'], inp['it_cnt_c']
+            uv = _jit_intra_pallas(H // 2, W // 2, 2, recs.shape[0],
+                                   recs.shape[1], False, pi_interp)(
+                jnp.stack([u, v]), rc, recs, cnt)
+            u, v = uv[0], uv[1]
+        else:
+            u, v = _jit_intra_c(H, W)(u, v, rc,
+                                      JK.schedule_wavefront(inp['tuc']))
     zero = np.int32(0)
     zmask = np.zeros((1, 1), bool)
     return _jit_filters(H, W, cfg.deblocking, cfg.clpf)(
