@@ -66,11 +66,15 @@ def _gen_tus(rng, H, W, min_s, max_s):
     pytest.param("chroma", 2, marks=pytest.mark.slow)])
 def test_pallas_intra_matches_scan(plane, seed):
     rng = np.random.default_rng(seed)
+    # seed 0 = small fast case (interpret mode is slow); slow seeds
+    # cover the full size range incl. 64x64 TUs
     if plane == "luma":
-        C, H, W, SIZES = 1, 128, 192, SIZES_Y
+        C, SIZES = 1, SIZES_Y
+        H, W = (64, 64) if seed == 0 else (128, 192)
         tus = _gen_tus(rng, H, W, min_s=4, max_s=64)
     else:
-        C, H, W, SIZES = 2, 64, 96, SIZES_C
+        C, SIZES = 2, SIZES_C
+        H, W = (32, 64) if seed == 0 else (64, 96)
         tus = _gen_tus(rng, H, W, min_s=4, max_s=32)
 
     planes = rng.integers(0, 256, (C, H, W)).astype(np.int32)
