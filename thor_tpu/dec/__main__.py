@@ -1,8 +1,11 @@
 """Thordec-equivalent CLI (dec/maindec.c:91-345).
 
 Usage: python -m thor_tpu.dec str.bit out.yuv [--backend numpy|jax]
+                                              [--mesh GxT]
 Prints per-sequence mode/size statistics like the reference's
-bit_count_t report (dec/maindec.c:197-329).
+bit_count_t report (dec/maindec.c:197-329). --mesh decodes through the
+gop x tile sharded device program (parallel/stream.py), e.g.
+--mesh 2x4 over 8 devices.
 """
 
 from __future__ import annotations
@@ -15,19 +18,38 @@ from collections import Counter
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     backend = "numpy"
+    mesh = None
     args = []
     i = 0
     while i < len(argv):
         if argv[i] == "--backend":
             backend = argv[i + 1]
             i += 2
+        elif argv[i] == "--mesh":
+            mesh = argv[i + 1]
+            i += 2
         else:
             args.append(argv[i])
             i += 1
     if len(args) < 2:
         print("usage: python -m thor_tpu.dec str.bit out.yuv "
-              "[--backend numpy|jax]", file=sys.stderr)
+              "[--backend numpy|jax] [--mesh GxT]", file=sys.stderr)
         return 1
+
+    if mesh is not None:
+        from ..parallel.stream import ShardedDecoder
+        gop, tile = (int(x) for x in mesh.split("x"))
+        sd = ShardedDecoder(gop=gop, tile=tile)
+        t0 = time.time()
+        frames = sd.decode_stream(args[0])
+        dt = time.time() - t0
+        with open(args[1], "wb") as out:
+            for (y, u, v) in frames:
+                out.write(y.tobytes() + u.tobytes() + v.tobytes())
+        print(f"decoded {len(frames)} frames in {dt:.2f}s "
+              f"({len(frames)/dt:.2f} frames/s, mesh={gop}x{tile}, "
+              f"gop-level batches={sd.last_level_sizes})")
+        return 0
 
     from .decoder import Decoder
     from ..codec.constants import (

@@ -34,12 +34,18 @@ from ..dec.reconstruct_jax import FrameConfig, _frame_fn
 
 def make_decode_mesh(devices=None, gop: int = 0, tile: int = 0) -> Mesh:
     """Mesh over ('gop', 'tile'). Default: split devices 2 x N/2."""
-    devices = np.asarray(devices if devices is not None else jax.devices())
+    if devices is None:
+        devices = jax.devices()
+        if gop and tile and len(devices) < gop * tile:
+            # axon plugin exposes a single TPU regardless of
+            # JAX_PLATFORMS; fall back to the virtual CPU mesh.
+            devices = jax.devices("cpu")
+    devices = np.asarray(devices)
     n = devices.size
     if not gop:
         gop = 2 if n % 2 == 0 and n > 1 else 1
         tile = n // gop
-    return Mesh(devices.reshape(gop, tile), ("gop", "tile"))
+    return Mesh(devices[:gop * tile].reshape(gop, tile), ("gop", "tile"))
 
 
 def _batched_frame_fn(cfg: FrameConfig, binp):

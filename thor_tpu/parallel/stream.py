@@ -1,0 +1,250 @@
+"""Sharded decode of real bitstreams over a gop x tile device mesh.
+
+The serial entropy parse stays on the host (one pass, in decode order);
+reconstruction is scheduled in *dependency levels*: every frame whose
+references (and interpolated-reference sources) are already
+reconstructed joins the current level, the level's frame inputs are
+padded to one common FrameConfig, and the whole level runs as a single
+sharded batch - frames across the 'gop' mesh axis, frame rows across
+'tile' (halo exchanges inserted by the XLA SPMD partitioner, see
+parallel/mesh.py).
+
+For hierarchical-B streams (RA/RA16/HDB) the B levels give gop-axis
+batches of 2..8 frames; low-delay chains degrade gracefully to
+tile-only sharding. This is the codec counterpart of DP x SP
+decomposition: no counterpart exists in the single-threaded reference
+(SURVEY.md §2.5) - the structure is introduced TPU-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.reader import BitReader, iter_frames
+from ..codec.constants import MAX_REF_FRAMES, MAX_REORDER_BUFFER
+from ..dec.parse import FrameParser, SequenceHeader
+from ..dec.reconstruct_np import RefFrame
+from ..dec.reconstruct_jax import FrameConfig, build_frame_inputs
+from .mesh import make_decode_mesh, sharded_reconstruct
+
+
+class _Placeholder:
+    """Identity of a not-yet-reconstructed reference in the sliding
+    window (frame_num + the decode index that will produce it)."""
+
+    __slots__ = ("frame_num", "producer")
+
+    def __init__(self, frame_num, producer):
+        self.frame_num = frame_num
+        self.producer = producer
+
+
+def _pad0(a, n, fill=0):
+    """Pad axis 0 of a to length n with a constant."""
+    if a.shape[0] == n:
+        return a
+    pad = np.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad])
+
+
+_GROUP_FILL = {'f': 1, 'sh': 1}
+_INTRA_FILL = {'size': 4, 'toplen': 4, 'leftlen': 4}
+
+
+def _unify_level(cfg_inps):
+    """Pad a level's per-frame (cfg, inp) pairs to one common config and
+    stack along a leading batch axis."""
+    cfgs = [c for c, _ in cfg_inps]
+    base = cfgs[0]
+    Rmax = max(c.R for c in cfgs)
+    gy, gc = {}, {}
+    for c in cfgs:
+        for s, npad in c.groups_y:
+            gy[s] = max(gy.get(s, 0), npad)
+        for s, npad in c.groups_c:
+            gc[s] = max(gc.get(s, 0), npad)
+    n_iy = max(c.n_intra_y for c in cfgs)
+    n_ic = max(c.n_intra_c for c in cfgs)
+    cfg = FrameConfig(
+        W=base.W, H=base.H, R=Rmax, bipred_filter=base.bipred_filter,
+        has_bi=any(c.has_bi for c in cfgs),
+        deblocking=base.deblocking, clpf=base.clpf,
+        groups_y=tuple(sorted(gy.items())),
+        groups_c=tuple(sorted(gc.items())),
+        n_intra_y=n_iy, n_intra_c=n_ic)
+
+    outs = []
+    for c, inp in cfg_inps:
+        e = dict(inp)
+        if Rmax and 'refY' in e:
+            for k in ('refY', 'refU', 'refV'):
+                r = e[k]
+                if r.shape[0] < Rmax:
+                    e[k] = np.concatenate(
+                        [r] + [r[:1]] * (Rmax - r.shape[0]))
+        elif Rmax:
+            # an I-frame inside a level (no references parsed): give it
+            # dummy reference planes + zero MV fields; its MC output is
+            # fully overwritten by the intra scan.
+            H, W = base.H, base.W
+            pad, padc = 96, 48
+            e['refY'] = np.zeros((Rmax, H + 2 * pad, W + 2 * pad),
+                                 np.uint8)
+            e['refU'] = np.zeros(
+                (Rmax, H // 2 + 2 * padc, W // 2 + 2 * padc), np.uint8)
+            e['refV'] = np.zeros_like(e['refU'])
+            z4 = np.zeros((H // 4, W // 4), np.int32)
+            for k in ('mv0x', 'mv0y', 'mv1x', 'mv1y', 'slot0', 'slot1'):
+                e[k] = z4
+            e['use_bi'] = z4 != 0
+        present_y = dict(c.groups_y)
+        for s, npad in cfg.groups_y:
+            key = f'gy{s}'
+            if s in present_y:
+                e[key] = {k: _pad0(v, npad, _GROUP_FILL.get(k, 0))
+                          for k, v in e[key].items()}
+            else:
+                sz = 32 if s == 64 else s
+                e[key] = {
+                    'coeff': np.zeros((npad, sz, sz), np.int16),
+                    'y': np.zeros(npad, np.int32),
+                    'x': np.zeros(npad, np.int32),
+                    'f': np.ones(npad, np.int32),
+                    'a': np.zeros(npad, np.int32),
+                    'sh': np.ones(npad, np.int32)}
+        present_c = dict(c.groups_c)
+        for s, npad in cfg.groups_c:
+            key = f'gc{s}'
+            if s in present_c:
+                e[key] = {k: _pad0(v, npad, _GROUP_FILL.get(k, 0))
+                          for k, v in e[key].items()}
+            else:
+                e[key] = {
+                    'coeff': np.zeros((npad, s, s), np.int16),
+                    'y': np.zeros(npad, np.int32),
+                    'x': np.zeros(npad, np.int32),
+                    'f': np.ones(npad, np.int32),
+                    'a': np.zeros(npad, np.int32),
+                    'sh': np.ones(npad, np.int32),
+                    'pl': np.zeros(npad, np.int32)}
+        e['tuy'] = {k: _pad0(v, n_iy, _INTRA_FILL.get(k, 0))
+                    for k, v in e['tuy'].items()}
+        e['tuc'] = {k: _pad0(v, n_ic, _INTRA_FILL.get(k, 0))
+                    for k, v in e['tuc'].items()}
+        outs.append(e)
+
+    import jax
+    binp = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *outs)
+    return cfg, binp
+
+
+class ShardedDecoder:
+    """Parse-then-batch decoder: see module docstring."""
+
+    def __init__(self, mesh=None, gop: int = 0, tile: int = 0,
+                 devices=None):
+        self.mesh = mesh if mesh is not None else make_decode_mesh(
+            devices, gop=gop, tile=tile)
+
+    def decode_stream(self, path: str):
+        """Decode a full stream; returns frames in display order."""
+        seq = None
+        refs = None
+        interp_frame = None
+        parsed = []   # (fs, ref_objects, interp) in decode order
+
+        # --- serial host parse, recording each frame's reference set ---
+        for payload in iter_frames(path):
+            br = BitReader(payload)
+            if seq is None:
+                seq = SequenceHeader.read(br)
+                z = lambda: np.zeros((seq.height, seq.width), np.uint8)
+                zc = lambda: np.zeros((seq.height // 2, seq.width // 2),
+                                      np.uint8)
+                refs = [RefFrame(z(), zc(), zc(), 0)
+                        for _ in range(MAX_REF_FRAMES)]
+            parser = FrameParser(seq, br, [r.frame_num for r in refs])
+            fs = parser.parse()
+            entry = {'fs': fs, 'deps': [], 'interp_pair': None}
+            if fs.interp_ref_frame and fs.num_ref > 2 \
+                    and fs.ref_array[0] == -1:
+                entry['interp_pair'] = (refs[fs.ref_array[1]],
+                                        refs[fs.ref_array[2]])
+            entry['refs_window'] = list(refs)
+            parsed.append(entry)
+            ph = _Placeholder(fs.display_frame_num, len(parsed) - 1)
+            refs = [ph] + refs[:-1]
+
+        # --- dependency levels over decode order ---
+        produced = [False] * len(parsed)
+        done = [False] * len(parsed)
+        recon = [None] * len(parsed)
+
+        def ready(i):
+            ent = parsed[i]
+            fs = ent['fs']
+            srcs = []
+            for r in fs.ref_array:
+                if r >= 0:
+                    srcs.append(ent['refs_window'][r])
+            if ent['interp_pair']:
+                srcs.extend(ent['interp_pair'])
+            return all(getattr(s, 'producer', None) is None
+                       or produced[s.producer] for s in srcs)
+
+        order = list(range(len(parsed)))
+        self._levels = []
+        while not all(done):
+            level = [i for i in order
+                     if not done[i] and ready(i)]
+            assert level, "dependency cycle in reference structure"
+            self._levels.append(len(level))
+            cfg_inps = []
+            for i in level:
+                ent = parsed[i]
+                fs = ent['fs']
+
+                def resolve(r):
+                    if getattr(r, 'producer', None) is not None:
+                        y, u, v = recon[r.producer]
+                        return RefFrame(y, u, v, r.frame_num)
+                    return r
+                window = [resolve(r) for r in ent['refs_window']]
+                interp = None
+                if ent['interp_pair']:
+                    from ..ops.temporal_interp import interpolate_frames
+                    r1 = resolve(ent['interp_pair'][0])
+                    r2 = resolve(ent['interp_pair'][1])
+                    dfn = fs.display_frame_num
+                    off1 = r2.frame_num - dfn
+                    off2 = dfn - r1.frame_num
+                    if off1 < 0 and off2 < 0:
+                        off1, off2 = -off1, -off2
+                    if off1 == off2:
+                        off1 = off2 = 1
+                    y, u, v = interpolate_frames(r1, r2, off1 + off2,
+                                                 off2)
+                    interp = RefFrame(y, u, v, dfn)
+                cfg_inps.append(build_frame_inputs(
+                    fs, window, interp, seq.width, seq.height, seq,
+                    seq.deblocking))
+            # pad the batch to a multiple of the gop axis (replicated
+            # frames; their outputs are discarded)
+            gop_axis = self.mesh.devices.shape[0]
+            while len(cfg_inps) % gop_axis:
+                cfg_inps.append(cfg_inps[-1])
+            cfg, binp = _unify_level(cfg_inps)
+            yb, ub, vb = sharded_reconstruct(self.mesh, cfg, binp)
+            yb, ub, vb = (np.asarray(yb), np.asarray(ub), np.asarray(vb))
+            for j, i in enumerate(level):
+                recon[i] = (yb[j].astype(np.uint8),
+                            ub[j].astype(np.uint8),
+                            vb[j].astype(np.uint8))
+                produced[i] = True
+                done[i] = True
+
+        # --- display-order output (dec/maindec.c:176-195) ---
+        order_d = sorted(range(len(parsed)),
+                         key=lambda i: parsed[i]['fs'].display_frame_num)
+        self.last_level_sizes = self._levels
+        return [recon[i] for i in order_d]
