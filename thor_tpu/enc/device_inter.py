@@ -1,0 +1,750 @@
+"""Batched TPU inter-frame (P) encoder.
+
+TPU-first decomposition of the reference's per-block RDO
+(enc/encode_block.c:2204-2479 and the ME at :830-1016): all
+measurements run as whole-frame batched device programs, the
+sequential part is reduced to a cheap host walk over precomputed cost
+maps, and the final reconstruction is produced by the decoder's own
+batched device program - so the encoder's reference frames are
+decoder-exact by construction.
+
+Pipeline per P-frame:
+ 1. all-phase interpolation planes for every reference (shared by ME,
+    trial coding and final reconstruction).
+ 2. device ME (device_me): per-block MV + best ref for sizes 8..64.
+ 3. device trial coding per size: MC -> residual -> transform ->
+    quantize -> reconstruct; SSD + coefficient-bit proxy per block
+    (both the coded and the zero-residual variant).
+ 4. device zero-MV SSD maps per reference (the SKIP measurements).
+ 5. host decision walk (raster/quadtree order, mirroring
+    process_block's bottom-up recursion): derives the exact skip
+    candidates and MV predictors from the evolving side-info map and
+    picks SKIP / INTER / INTRA per leaf from the device cost maps.
+ 6. device final reconstruction: whole-frame MC with the decided
+    per-cell MV field + residual scatter of the chosen coefficients +
+    exact intra scan for intra-coded leaves.
+ 7. host syntax emission through the exact bitstream writers.
+
+The toolset is deliberately restricted (PART_NONE, tb_split=0, no
+merge/bipred, non-RDOQ quantization); every emitted stream is fully
+valid Thor syntax.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..codec.constants import (
+    CHROMA_QP, GDEQUANT_TABLE, MODE_SKIP, MODE_INTER, MODE_INTRA,
+    MIN_BLOCK_SIZE, MAX_BLOCK_SIZE, zigzag_for)
+from ..codec.blockdata import (
+    find_block_contexts, get_mv_pred, get_mv_skip)
+from ..ops import jax_kernels as JK
+from ..ops.coeff_bits import coeff_bits_batch
+from ..bitstream.writer import quote_vlc
+from .inter import quote_mv_bits
+from .syntax import write_block, write_super_mode
+from . import device_me as DM
+
+PAD = JK.PAD_Y
+PAD_C = JK.PAD_C
+SIZES = (8, 16, 32, 64)
+
+
+# ---------------------------------------------------------------------------
+# Device programs
+# ---------------------------------------------------------------------------
+
+def _expand_blocks_to_cells(vals, HB, WB, cpb, H4, W4, fill=0):
+    """[HB*WB] per-block values -> [H4, W4] per-cell map (cells outside
+    the full-block grid get `fill`)."""
+    g = vals.reshape(HB, WB)
+    e = jnp.broadcast_to(g[:, None, :, None], (HB, cpb, WB, cpb)) \
+        .reshape(HB * cpb, WB * cpb)
+    out = jnp.full((H4, W4), fill, e.dtype)
+    return out.at[:HB * cpb, :WB * cpb].set(e)
+
+
+def _blocks_of(plane, b, HB, WB):
+    return plane[:HB * b, :WB * b].reshape(HB, b, WB, b) \
+        .transpose(0, 2, 1, 3).reshape(HB * WB, b, b)
+
+
+def _recon_blocks(pred, q, s, qp):
+    """Exact dequant + inverse transform + reconstruct for [N, s, s]
+    blocks (mirrors the decoder: common/common_block.c:132-156,
+    common/transform.c:432-518)."""
+    lshift = qp // 6
+    rsh = int(np.log2(s)) - 1
+    fac = int(GDEQUANT_TABLE[qp % 6]) << lshift
+    rc = jnp.clip((q.astype(jnp.int32) * fac + (1 << (rsh - 1))) >> rsh,
+                  -32768, 32767).astype(jnp.int16)
+    if s == 64:
+        rr = JK.idct_batch(rc[:, :32, :32], 32)
+        rr = jnp.repeat(jnp.repeat(rr, 2, axis=1), 2, axis=2)
+    else:
+        rr = JK.idct_batch(rc, s)
+    return jnp.clip(pred + rr, 0, 255)
+
+
+@lru_cache(maxsize=None)
+def _trial_fn(H: int, W: int, s: int, qpY: int, qpC: int, fastY: bool,
+              fastC: bool):
+    """Jitted per-size trial coding of every full block with its ME MV:
+    returns per-block coded/zero SSDs (Y+U+V), bit proxies, cbp flags
+    and the quantized coefficients (device-resident)."""
+    Hc, Wc = H // 2, W // 2
+    H4, W4 = H // 4, W // 4
+    HB, WB = H // s, W // s
+    sc = s // 2
+    cpb = s // 4
+    zzy = zigzag_for(min(s, 16))
+    zzc = zigzag_for(min(sc, 16))
+
+    def f(orgY, orgU, orgV, phY, phU, phV, mvy, mvx, slot):
+        mvyc = _expand_blocks_to_cells(mvy, HB, WB, cpb, H4, W4)
+        mvxc = _expand_blocks_to_cells(mvx, HB, WB, cpb, H4, W4)
+        slc = _expand_blocks_to_cells(slot, HB, WB, cpb, H4, W4)
+        predY = JK.mc_gather_from_phases(phY, mvxc, mvyc, slc, PAD, 2, 4,
+                                         H, W, -2)
+        predU = JK.mc_gather_from_phases(phU, mvxc, mvyc, slc, PAD_C, 3,
+                                         2, Hc, Wc, -1)
+        predV = JK.mc_gather_from_phases(phV, mvxc, mvyc, slc, PAD_C, 3,
+                                         2, Hc, Wc, -1)
+
+        def plane_trial(org, pred, b, qp, zz, fast, chroma):
+            ob = _blocks_of(org.astype(jnp.int32), b, HB, WB)
+            pb = _blocks_of(pred, b, HB, WB)
+            resid = ob - pb
+            coeff = JK.fwd_transform_batch(resid, b, fast)
+            q, cbp = JK.quantize_fwd_batch(coeff, qp, b, False, zz)
+            rec = _recon_blocks(pb, q, b, qp)
+            ssd_c = ((ob - rec) ** 2).sum(axis=(1, 2))
+            ssd_p = (resid ** 2).sum(axis=(1, 2))
+            bits = coeff_bits_batch(q, b, False, chroma)
+            return q, cbp, ssd_c, ssd_p, bits
+
+        qy, cbpy, scy, spy, by = plane_trial(orgY, predY, s, qpY, zzy,
+                                             fastY, False)
+        qu, cbpu, scu, spu, bu = plane_trial(orgU, predU, sc, qpC, zzc,
+                                             fastC, True)
+        qv, cbpv, scv, spv, bv = plane_trial(orgV, predV, sc, qpC, zzc,
+                                             fastC, True)
+        return dict(
+            qy=qy, qu=qu, qv=qv,
+            cbp_y=cbpy, cbp_u=cbpu, cbp_v=cbpv,
+            ssd_coded=scy + scu + scv, ssd_pred=spy + spu + spv,
+            bits=(jnp.where(cbpy, by, 0) + jnp.where(cbpu, bu, 0)
+                  + jnp.where(cbpv, bv, 0)))
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _zero_ssd_fn(H: int, W: int, R: int):
+    """Zero-MV SKIP measurement: SSD(org, ref_r) box-summed per block
+    size, Y+U+V combined. Returns {size: [R, N]}."""
+    Hc, Wc = H // 2, W // 2
+
+    def f(orgY, orgU, orgV, refY, refU, refV):
+        dY = (orgY.astype(jnp.int32)[None]
+              - refY[:, PAD:PAD + H, PAD:PAD + W].astype(jnp.int32)) ** 2
+        dU = (orgU.astype(jnp.int32)[None]
+              - refU[:, PAD_C:PAD_C + Hc, PAD_C:PAD_C + Wc]
+              .astype(jnp.int32)) ** 2
+        dV = (orgV.astype(jnp.int32)[None]
+              - refV[:, PAD_C:PAD_C + Hc, PAD_C:PAD_C + Wc]
+              .astype(jnp.int32)) ** 2
+        out = {}
+        for s in SIZES:
+            HB, WB = H // s, W // s
+            sc = s // 2
+            y = dY[:, :HB * s, :WB * s].reshape(R, HB, s, WB, s) \
+                .sum(axis=(2, 4))
+            u = dU[:, :HB * sc, :WB * sc].reshape(R, HB, sc, WB, sc) \
+                .sum(axis=(2, 4))
+            v = dV[:, :HB * sc, :WB * sc].reshape(R, HB, sc, WB, sc) \
+                .sum(axis=(2, 4))
+            out[s] = (y + u + v).reshape(R, -1)
+        return out
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _final_mc_fn(H: int, W: int, groups):
+    """Jitted final reconstruction stage 1: whole-frame MC with the
+    decided per-cell MV field + residual scatter of the chosen
+    coefficients (exactly the decoder's program shape,
+    dec/reconstruct_jax.py). groups: tuple of (size, npad)."""
+    Hc, Wc = H // 2, W // 2
+
+    def f(phY, phU, phV, mvxc, mvyc, slc, g):
+        pY = JK.mc_gather_from_phases(phY, mvxc, mvyc, slc, PAD, 2, 4,
+                                      H, W, -2)
+        pU = JK.mc_gather_from_phases(phU, mvxc, mvyc, slc, PAD_C, 3, 2,
+                                      Hc, Wc, -1)
+        pV = JK.mc_gather_from_phases(phV, mvxc, mvyc, slc, PAD_C, 3, 2,
+                                      Hc, Wc, -1)
+        rY = jnp.zeros((H, W), jnp.int32)
+        rU = jnp.zeros((Hc, Wc), jnp.int32)
+        rV = jnp.zeros((Hc, Wc), jnp.int32)
+        for s, _ in groups:
+            gg = g[s]
+            vals = JK.residual_group(gg['qy'], gg['f'], gg['a'], gg['sh'],
+                                     32 if s == 64 else s)
+            if s == 64:
+                vals = jnp.repeat(jnp.repeat(vals, 2, axis=1), 2, axis=2)
+            rY = JK.scatter_tu(rY, vals, gg['y'], gg['x'])
+            sc = s // 2
+            for pl, key in ((0, 'qu'), (1, 'qv')):
+                vals = JK.residual_group(gg[key], gg['fc'], gg['ac'],
+                                         gg['shc'], sc)
+                tgt = rU if pl == 0 else rV
+                tgt = JK.scatter_tu(tgt, vals, gg['y'] // 2, gg['x'] // 2)
+                if pl == 0:
+                    rU = tgt
+                else:
+                    rV = tgt
+        y = jnp.clip(pY + rY, 0, 255)
+        u = jnp.clip(pU + rU, 0, 255)
+        v = jnp.clip(pV + rV, 0, 255)
+        return y, u, v
+
+    return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
+# Host decision walk
+# ---------------------------------------------------------------------------
+
+def _quote_super_mode(ectx, binfo, mode, ref_idx0):
+    """Bit count of write_super_mode for a non-split block
+    (enc/write_bits.c:268-380, counting only)."""
+    size = binfo.size
+    num_ref = ectx.num_ref
+    bipred_possible = num_ref > 1 and ectx.enable_bipred
+    split_possible = size > MIN_BLOCK_SIZE
+    maxbit = 2 + num_ref + int(split_possible) + int(bipred_possible)
+    if ectx.interp_ref:
+        if mode == MODE_SKIP:
+            code = 0
+        elif mode == MODE_INTRA:
+            code = 4
+        elif mode == MODE_INTER and ref_idx0 > 0:
+            code = 4 + ref_idx0
+        else:
+            code = 4 + num_ref
+        if not bipred_possible and code > 3:
+            code -= 1
+        if not split_possible and code > 1:
+            code -= 1
+        bc = binfo.block_context
+        if (bc.index == 2 or bc.index > 3) and size > MIN_BLOCK_SIZE:
+            if code < 3:
+                code = (code + 2) % 3
+    else:
+        if mode == MODE_SKIP:
+            code = 0
+        elif mode == MODE_INTER and ref_idx0 == 0:
+            code = 2
+        elif mode == MODE_INTRA:
+            code = 5
+        else:
+            code = 5 + ref_idx0
+        if not bipred_possible and code > 4:
+            code -= 1
+        if not split_possible and code > 1:
+            code -= 1
+        bc = binfo.block_context
+        if (bc.index == 2 or bc.index > 3) and size > MIN_BLOCK_SIZE:
+            if code < 4:
+                code = (code + 3) % 4
+    return maxbit if code == maxbit else code + 1
+
+
+def _skip_idx_bits(nvec, idx):
+    if nvec >= 4:
+        return 2
+    if nvec == 3:
+        return 1 if idx == 0 else 2
+    if nvec == 2:
+        return 1
+    return 0
+
+
+class _Leaf:
+    __slots__ = ("ypos", "xpos", "size", "mode", "mv", "ref", "skip_idx",
+                 "intra_mode", "idx", "use_cbp", "cand")
+
+    def __init__(self, ypos, xpos, size, mode, mv=(0, 0), ref=0,
+                 skip_idx=0, intra_mode=0, idx=0, use_cbp=False):
+        self.ypos, self.xpos, self.size = ypos, xpos, size
+        self.mode, self.mv, self.ref = mode, mv, ref
+        self.skip_idx, self.intra_mode = skip_idx, intra_mode
+        self.idx, self.use_cbp = idx, use_cbp
+        self.cand = None
+
+
+def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
+    """Bottom-up quadtree decision walk in coding order (mirrors
+    process_block's recursion, enc/encode_block.c:2787-3033) over the
+    device cost maps. Returns (leaves in coding order, split set)."""
+    W, H = enc.width, enc.height
+    dd = enc.deblock_data
+    p = enc.params
+    leaves, splits = [], set()
+
+    def leaf_candidates(s, y0, x0):
+        HBW = W // s
+        idx = (y0 // s) * HBW + (x0 // s)
+        m = meas[s]
+        binfo_ctx = find_block_contexts(y0, x0, H, W, s, dd,
+                                        bool(p.use_block_contexts))
+
+        class _B:
+            size = s
+            block_context = binfo_ctx
+        skip_cands = get_mv_skip(y0, x0, W, H, s, dd)
+        mvp = get_mv_pred(y0, x0, W, H, s, dd)
+
+        best = None  # (cost, leaf, dd_store_args)
+        # --- SKIP candidates (zero-MV measured on device; others by a
+        # cheap host MC only when plausible) ---
+        for i, c in enumerate(skip_cands):
+            if c.bipred_flag == 2:
+                continue
+            if (c.mv0x, c.mv0y) == (0, 0):
+                ssd = int(m['ssd0'][c.ref_idx0, idx])
+            elif (c.mv0x, c.mv0y) == (int(m['mvx'][idx]),
+                                      int(m['mvy'][idx])) \
+                    and c.ref_idx0 == int(m['slot'][idx]):
+                ssd = int(m['ssd_pred'][idx])
+            else:
+                continue
+            bits = _quote_super_mode(enc, _B, MODE_SKIP, 0) \
+                + _skip_idx_bits(len(skip_cands), i)
+            cost = ssd + int(lam * bits + 0.5)
+            if best is None or cost < best[0]:
+                lf = _Leaf(y0, x0, s, MODE_SKIP,
+                           mv=(c.mv0x, c.mv0y), ref=c.ref_idx0,
+                           skip_idx=i, idx=idx)
+                lf.cand = c
+                best = (cost, lf)
+
+        # --- INTER (coded and zero-residual variants) ---
+        mv = (int(m['mvx'][idx]), int(m['mvy'][idx]))
+        ref = int(m['slot'][idx])
+        mvbits = quote_mv_bits(mv[1] - mvp[1], mv[0] - mvp[0])
+        smbits = _quote_super_mode(enc, _B, MODE_INTER, ref)
+        has_cbp = bool(m['cbp_y'][idx] or m['cbp_u'][idx]
+                       or m['cbp_v'][idx])
+        cbp0_bits = quote_vlc(0, 1)
+        cost_zero = int(m['ssd_pred'][idx]) + int(
+            lam * (smbits + mvbits + cbp0_bits) + 0.5)
+        cost_coded = int(m['ssd_coded'][idx]) + int(
+            lam * (smbits + mvbits + int(m['bits'][idx]) + 2) + 0.5)
+        if has_cbp and cost_coded < cost_zero:
+            cost, use_cbp = cost_coded, True
+        else:
+            cost, use_cbp = cost_zero, False
+        if best is None or cost < best[0]:
+            best = (cost, _Leaf(y0, x0, s, MODE_INTER, mv=mv, ref=ref,
+                                idx=idx, use_cbp=use_cbp))
+
+        # --- INTRA ---
+        smbits = _quote_super_mode(enc, _B, MODE_INTRA, 0)
+        HBW_i = W // s
+        ic = int(intra_costs[s][y0 // s, x0 // s]) \
+            + int(lam * smbits + 0.5)
+        if ic < best[0]:
+            best = (ic, _Leaf(y0, x0, s, MODE_INTRA,
+                              intra_mode=int(intra_modes[s][y0 // s,
+                                                            x0 // s]),
+                              idx=idx))
+        return best
+
+    def store_leaf(lf):
+        # Must match what emission-time store_deblock_data writes for
+        # mv0/mv1/ref0/ref1/dir exactly: the skip-candidate derivation
+        # (and its dedup keys) read those fields, so decision-time and
+        # emission-time candidate lists must be identical.
+        if lf.mode == MODE_SKIP:
+            c = lf.cand
+            mv0 = ((c.mv0x, c.mv0y),) * 4
+            mv1 = ((c.mv1x, c.mv1y),) * 4
+            dd.store_block(lf.ypos, lf.xpos, lf.size, lf.size, lf.size,
+                           MODE_SKIP, (0, 0, 0), 0, 0, mv0, mv1,
+                           c.ref_idx0, c.ref_idx1, c.bipred_flag)
+        elif lf.mode == MODE_INTER:
+            cbp = (1, 1, 1) if lf.use_cbp else (0, 0, 0)
+            mv0 = (lf.mv,) * 4
+            mv1 = ((0, 0),) * 4
+            dd.store_block(lf.ypos, lf.xpos, lf.size, lf.size, lf.size,
+                           MODE_INTER, cbp, 0, 0, mv0, mv1, lf.ref, 0, 0)
+        else:
+            # INTRA normalization: dir=-1, zero MVs, ref 0
+            # (enc/encode_block.c:2028, dec read_block rec.dir=-1)
+            mv4 = ((0, 0),) * 4
+            dd.store_block(lf.ypos, lf.xpos, lf.size, lf.size, lf.size,
+                           MODE_INTRA, (1, 1, 1), 0, 0, mv4, mv4, 0, 0,
+                           -1)
+
+    def rec(s, y0, x0):
+        if y0 >= H or x0 >= W:
+            return 0, []
+        full = y0 + s <= H and x0 + s <= W
+        if not full:
+            # forced descent (frame dims are /8 so leaves are full)
+            h = s // 2
+            cost, lv = 0, []
+            for (dy, dx) in ((0, 0), (h, 0), (0, h), (h, h)):
+                c, l2 = rec(h, y0 + dy, x0 + dx)
+                cost += c
+                lv.extend(l2)
+            return cost, lv
+        if s > MIN_BLOCK_SIZE:
+            # trial children first (bottom-up); their dd stores are
+            # overwritten if this size wins, mirroring the reference.
+            h = s // 2
+            cost_small, lv_small = 0, []
+            for (dy, dx) in ((0, 0), (h, 0), (0, h), (h, h)):
+                c, l2 = rec(h, y0 + dy, x0 + dx)
+                cost_small += c
+                lv_small.extend(l2)
+            cost_small += int(lam * 2 + 0.5)  # split signalling
+            cost_here, lf = leaf_candidates(s, y0, x0)
+            if cost_here <= cost_small:
+                store_leaf(lf)
+                return cost_here, [lf]
+            splits.add((y0, x0, s))
+            return cost_small, lv_small
+        cost_here, lf = leaf_candidates(s, y0, x0)
+        store_leaf(lf)
+        return cost_here, [lf]
+
+    for k in range(0, H, MAX_BLOCK_SIZE):
+        for l in range(0, W, MAX_BLOCK_SIZE):
+            _, lv = rec(MAX_BLOCK_SIZE, k, l)
+            leaves.extend(lv)
+    return leaves, splits
+
+
+# ---------------------------------------------------------------------------
+# Frame driver
+# ---------------------------------------------------------------------------
+
+def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
+    """Device-searched P-frame encode; returns (y, u, v) recon and
+    writes the frame syntax through the exact host writers."""
+    import math
+    from .device_intra import (search_intra_frame, _encode_scan_fn)
+    from ..dec.native_inputs import (_downleft_available_v,
+                                     _upright_available_v)
+    from .block import BlockInfo, BlockParam
+
+    W, H = enc.width, enc.height
+    p = enc.params
+    qpY = enc.frame_qp
+    qpC = int(CHROMA_QP[qpY])
+    lam = enc.lambda_
+    lam_me = math.sqrt(lam)
+    R = enc.num_ref
+    fast32 = p.encoder_speed > 1
+    fast64 = p.encoder_speed > 0
+
+    refs = [enc.get_ref(i) for i in range(R)]
+    assert all(r.frame_num < enc.frame_num for r in refs), \
+        "device P-frame path assumes past references"
+    refY = np.stack([r.y for r in refs])
+    refU = np.stack([r.u for r in refs])
+    refV = np.stack([r.v for r in refs])
+
+    lutY = JK.build_luma_mc_lut(int(p.enable_bipred))
+    lutC = JK.build_chroma_mc_lut()
+    phY = JK.mc_phase_conv(jnp.asarray(refY), lutY, PAD)
+    phU = JK.mc_phase_conv(jnp.asarray(refU), lutC, PAD_C)
+    phV = JK.mc_phase_conv(jnp.asarray(refV), lutC, PAD_C)
+
+    # --- device measurements ---
+    me = DM.me_frame(org_y, refY, phY, lam_me, H, W)
+    meas = {}
+    trials_dev = {}
+    for s in SIZES:
+        mvy, mvx, slot, _ = me[s]
+        fastY = (s == 64 and fast64) or fast32
+        t = _trial_fn(H, W, s, qpY, qpC, fastY, fast32)(
+            jnp.asarray(org_y), jnp.asarray(org_u), jnp.asarray(org_v),
+            phY, phU, phV, jnp.asarray(mvy), jnp.asarray(mvx),
+            jnp.asarray(slot))
+        trials_dev[s] = t
+        meas[s] = {
+            'mvy': mvy, 'mvx': mvx, 'slot': slot,
+            'ssd_coded': np.asarray(t['ssd_coded']),
+            'ssd_pred': np.asarray(t['ssd_pred']),
+            'bits': np.asarray(t['bits']),
+            'cbp_y': np.asarray(t['cbp_y']),
+            'cbp_u': np.asarray(t['cbp_u']),
+            'cbp_v': np.asarray(t['cbp_v']),
+        }
+    ssd0 = _zero_ssd_fn(H, W, R)(
+        jnp.asarray(org_y), jnp.asarray(org_u), jnp.asarray(org_v),
+        jnp.asarray(refY), jnp.asarray(refU), jnp.asarray(refV))
+    for s in SIZES:
+        meas[s]['ssd0'] = np.asarray(ssd0[s])
+
+    intra_modes, intra_split, intra_costs = search_intra_frame(
+        org_y, qpY, lam, W, H, p.encoder_speed > 1,
+        enc.num_intra_modes, intra_quant=False, return_costs=True)
+
+    # --- decision walk ---
+    enc.deblock_data.reset()
+    leaves, splits = _decide_frame(enc, meas, intra_modes, intra_costs,
+                                   lam, lam_me)
+
+    # --- final reconstruction (decoder's program) ---
+    H4, W4 = H // 4, W // 4
+    mvxc = np.zeros((H4, W4), np.int32)
+    mvyc = np.zeros((H4, W4), np.int32)
+    slc = np.zeros((H4, W4), np.int32)
+    coded = {s: [] for s in SIZES}
+    intra_leaves = []
+    for lf in leaves:
+        cy, cx, cs = lf.ypos // 4, lf.xpos // 4, lf.size // 4
+        if lf.mode == MODE_INTRA:
+            intra_leaves.append(lf)
+            continue
+        mvxc[cy:cy + cs, cx:cx + cs] = lf.mv[0]
+        mvyc[cy:cy + cs, cx:cx + cs] = lf.mv[1]
+        slc[cy:cy + cs, cx:cx + cs] = lf.ref
+        if lf.mode == MODE_INTER and lf.use_cbp:
+            coded[lf.size].append(lf)
+
+    groups = []
+    ginp = {}
+    for s in SIZES:
+        lst = coded[s]
+        if not lst:
+            continue
+        n = len(lst)
+        npad = max(16, 1 << (n - 1).bit_length())
+        idxs = np.array([lf.idx for lf in lst], np.int32)
+        sc = s // 2
+        tsz = s
+        tszc = sc
+        sh = int(np.log2(tsz)) - 1
+        shc = int(np.log2(tszc)) - 1
+        fac = int(GDEQUANT_TABLE[qpY % 6]) << (qpY // 6)
+        facc = int(GDEQUANT_TABLE[qpC % 6]) << (qpC // 6)
+
+        def padi(a, fill=0):
+            return np.concatenate([a, np.full(npad - n, fill, a.dtype)])
+
+        sel = jnp.asarray(idxs)
+        qy = trials_dev[s]['qy'][sel]
+        if s == 64:
+            # 64-blocks carry a 32x32 transform (low quadrant)
+            qy = qy[:, :32, :32]
+        qu = trials_dev[s]['qu'][sel]
+        qv = trials_dev[s]['qv'][sel]
+        sy = 32 if s == 64 else s
+        zpad = npad - n
+        if zpad:
+            qy = jnp.concatenate(
+                [qy, jnp.zeros((zpad, sy, sy), jnp.int16)])
+            qu = jnp.concatenate(
+                [qu, jnp.zeros((zpad, sc, sc), jnp.int16)])
+            qv = jnp.concatenate(
+                [qv, jnp.zeros((zpad, sc, sc), jnp.int16)])
+        # zero chroma coeffs where the plane cbp is 0 (the stream only
+        # carries coeffs for planes with cbp set)
+        cbu = padi(np.array(
+            [int(meas[s]['cbp_u'][lf.idx]) for lf in lst], np.int16))
+        cbv = padi(np.array(
+            [int(meas[s]['cbp_v'][lf.idx]) for lf in lst], np.int16))
+        cby = padi(np.array(
+            [int(meas[s]['cbp_y'][lf.idx]) for lf in lst], np.int16))
+        qy = qy * jnp.asarray(cby)[:, None, None]
+        qu = qu * jnp.asarray(cbu)[:, None, None]
+        qv = qv * jnp.asarray(cbv)[:, None, None]
+        ginp[s] = {
+            'qy': qy, 'qu': qu, 'qv': qv,
+            'f': jnp.full((npad,), fac, jnp.int32),
+            'a': jnp.full((npad,), 1 << (sh - 1), jnp.int32),
+            'sh': jnp.full((npad,), sh, jnp.int32),
+            'fc': jnp.full((npad,), facc, jnp.int32),
+            'ac': jnp.full((npad,), 1 << (shc - 1), jnp.int32),
+            'shc': jnp.full((npad,), shc, jnp.int32),
+            'y': jnp.asarray(padi(np.array(
+                [lf.ypos for lf in lst], np.int32))),
+            'x': jnp.asarray(padi(np.array(
+                [lf.xpos for lf in lst], np.int32))),
+        }
+        groups.append((s, npad))
+
+    y_d, u_d, v_d = _final_mc_fn(H, W, tuple(groups))(
+        phY, phU, phV, jnp.asarray(mvxc), jnp.asarray(mvyc),
+        jnp.asarray(slc), ginp)
+
+    # --- exact intra scan over intra-coded leaves ---
+    intra_q = {}
+    if intra_leaves:
+        n = len(intra_leaves)
+        npad = max(128, 1 << (n - 1).bit_length())
+        ty = np.array([lf.ypos for lf in intra_leaves], np.int32)
+        tx = np.array([lf.xpos for lf in intra_leaves], np.int32)
+        sz = np.array([lf.size for lf in intra_leaves], np.int32)
+        md = np.array([lf.intra_mode for lf in intra_leaves], np.int32)
+        up = _upright_available_v(ty, tx, sz, W)
+        dl = _downleft_available_v(ty, tx, sz, H)
+
+        def padn(a, fill=0):
+            return np.concatenate(
+                [a.astype(np.int32), np.full(npad - n, fill, np.int32)])
+
+        arr = {
+            "ty": padn(ty), "tx": padn(tx), "size": padn(sz, 8),
+            "mode": padn(md), "toplen": padn(sz + up, 8),
+            "leftlen": padn(sz + dl, 8),
+            "cbx_nonzero": padn((tx > 0).astype(np.int32)),
+            "valid": padn(np.ones(n, np.int32)),
+        }
+        luma_fn, chroma_fn = _encode_scan_fn(
+            qpY, qpC, p.encoder_speed > 1, npad, intra_quant=False)
+
+        def pad_for(plane):
+            return jnp.pad(jnp.asarray(plane, jnp.int32),
+                           ((JK.PADI, JK.PADE), (JK.PADI, JK.PADE)))
+
+        P = pad_for(y_d)
+        O = pad_for(org_y)
+        P, q16y, cbpy = luma_fn(P, O, arr)
+        y_d = P[JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]
+
+        arrc = dict(arr)
+        arrc["ty"] = padn(ty // 2)
+        arrc["tx"] = padn(tx // 2)
+        arrc["size"] = padn(sz // 2, 4)
+        arrc["toplen"] = padn(sz // 2 + up, 4)
+        arrc["leftlen"] = padn(sz // 2 + dl, 4)
+        arrc["cbx_nonzero"] = padn((tx // 2 > 0).astype(np.int32))
+        Pu = pad_for(u_d)
+        Pv = pad_for(v_d)
+        Ou = pad_for(org_u)
+        Ov = pad_for(org_v)
+        Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(Pu, Pv, Ou, Ov, arrc)
+        u_d = Pu[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
+        v_d = Pv[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
+        intra_q = {
+            'qy': np.asarray(q16y), 'qu': np.asarray(q16u),
+            'qv': np.asarray(q16v), 'cy': np.asarray(cbpy),
+            'cu': np.asarray(cbpu), 'cv': np.asarray(cbpv),
+            'index': {(lf.ypos, lf.xpos): i
+                      for i, lf in enumerate(intra_leaves)}}
+
+    y = np.asarray(y_d).astype(np.uint8)
+    u = np.asarray(u_d).astype(np.uint8)
+    v = np.asarray(v_d).astype(np.uint8)
+
+    # --- syntax emission with exact contexts ---
+    coeff_host = {}
+    for s in SIZES:
+        lst = coded[s]
+        if lst:
+            sel = jnp.asarray(np.array([lf.idx for lf in lst], np.int32))
+            coeff_host[s] = {
+                'qy': np.asarray(trials_dev[s]['qy'][sel]),
+                'qu': np.asarray(trials_dev[s]['qu'][sel]),
+                'qv': np.asarray(trials_dev[s]['qv'][sel]),
+                'index': {(lf.ypos, lf.xpos): i
+                          for i, lf in enumerate(lst)}}
+
+    enc.deblock_data.reset()
+    by_pos = {(lf.ypos, lf.xpos, lf.size): lf for lf in leaves}
+
+    def emit(s, y0, x0):
+        if y0 >= H or x0 >= W:
+            return
+        full = y0 + s <= H and x0 + s <= W
+        binfo = BlockInfo(
+            size=s, ypos=y0, xpos=x0,
+            bwidth=min(s, W - x0), bheight=min(s, H - y0),
+            max_num_tb_part=2 if p.enable_tb_split == 1 else 1,
+            max_num_pb_part=4 if p.enable_pb_split else 1)
+        binfo.block_context = find_block_contexts(
+            y0, x0, H, W, s, enc.deblock_data,
+            bool(p.use_block_contexts))
+        key = (y0, x0, s)
+        if key not in by_pos:
+            h = s // 2
+            if full:
+                write_super_mode(w, enc, binfo, MODE_SKIP, 0, 1)
+            else:
+                w.putbits(1, 0)
+            emit(h, y0, x0)
+            emit(h, y0 + h, x0)
+            emit(h, y0, x0 + h)
+            emit(h, y0 + h, x0 + h)
+            return
+        lf = by_pos[key]
+        skip_cands = get_mv_skip(y0, x0, W, H, s, enc.deblock_data)
+        binfo.skip_candidates = skip_cands
+        binfo.num_skip_vec = len(skip_cands)
+        binfo.mvp = get_mv_pred(y0, x0, W, H, s, enc.deblock_data)
+
+        bp = BlockParam(mode=lf.mode)
+        if lf.mode == MODE_SKIP:
+            bp.skip_idx = lf.skip_idx
+            c = skip_cands[lf.skip_idx]
+            bp.ref_idx0, bp.ref_idx1 = c.ref_idx0, c.ref_idx1
+            bp.mv_arr0 = ((c.mv0x, c.mv0y),) * 4
+            bp.mv_arr1 = ((c.mv1x, c.mv1y),) * 4
+            bp.dir = c.bipred_flag
+            bp.cbp = (0, 0, 0)
+        elif lf.mode == MODE_INTER:
+            bp.ref_idx0 = lf.ref
+            bp.mv_arr0 = (lf.mv,) * 4
+            bp.pb_part = 0
+            bp.tb_param = 0
+            if lf.use_cbp:
+                ch = coeff_host[s]
+                i = ch['index'][(y0, x0)]
+                cy = int(meas[s]['cbp_y'][lf.idx])
+                cu = int(meas[s]['cbp_u'][lf.idx])
+                cv = int(meas[s]['cbp_v'][lf.idx])
+                bp.coeff_y = ch['qy'][i]
+                bp.coeff_u = ch['qu'][i]
+                bp.coeff_v = ch['qv'][i]
+                bp.cbp = (cy, cu, cv)
+            else:
+                bp.cbp = (0, 0, 0)
+        else:  # INTRA
+            bp.intra_mode = lf.intra_mode
+            bp.dir = -1
+            i = intra_q['index'][(y0, x0)]
+            sc = s // 2
+            qs, qsc = min(s, 16), min(sc, 16)
+            cy = np.zeros((s, s), np.int16)
+            cy[:qs, :qs] = intra_q['qy'][i][:qs, :qs]
+            cu = np.zeros((sc, sc), np.int16)
+            cu[:qsc, :qsc] = intra_q['qu'][i][:qsc, :qsc]
+            cv = np.zeros((sc, sc), np.int16)
+            cv[:qsc, :qsc] = intra_q['qv'][i][:qsc, :qsc]
+            bp.coeff_y, bp.coeff_u, bp.coeff_v = cy, cu, cv
+            bp.cbp = (int(intra_q['cy'][i]), int(intra_q['cu'][i]),
+                      int(intra_q['cv'][i]))
+            bp.tb_param = 0
+        write_block(w, enc, binfo, bp)
+        binfo.block_param = bp
+        enc.store_deblock_data(binfo)
+
+    for k in range(0, H, MAX_BLOCK_SIZE):
+        for l in range(0, W, MAX_BLOCK_SIZE):
+            emit(MAX_BLOCK_SIZE, k, l)
+
+    return y, u, v

@@ -72,8 +72,10 @@ def _block_refs_host(org, s, W, H):
 
 @lru_cache(maxsize=None)
 def _search_fn(s: int, qp: int, fast: bool, lam_milli: int,
-               nmodes: int):
-    """Jitted per-size search: best mode + cost for all blocks."""
+               nmodes: int, intra_quant: bool = True):
+    """Jitted per-size search: best mode + cost for all blocks.
+    intra_quant: quantizer offset set (intra on I frames only -
+    enc/encode_block.c passes (frame_type==I_FRAME)<<1 as coeff type)."""
     zz = zigzag_for(min(s, 16))
     lam = lam_milli / 1000.0
 
@@ -88,7 +90,7 @@ def _search_fn(s: int, qp: int, fast: bool, lam_milli: int,
             pred = pred[:, :s, :s]
             resid = blocks.astype(jnp.int32) - pred
             coeff = JK.fwd_transform_batch(resid, s, fast)
-            q, cbp = JK.quantize_fwd_batch(coeff, qp, s, True, zz)
+            q, cbp = JK.quantize_fwd_batch(coeff, qp, s, intra_quant, zz)
             # dequant + inverse for true distortion of this choice
             lshift = qp // 6
             tsz = s
@@ -121,9 +123,10 @@ def _search_fn(s: int, qp: int, fast: bool, lam_milli: int,
     return jax.jit(f)
 
 
-def search_intra_frame(org, qp, lam, W, H, fast, nmodes):
+def search_intra_frame(org, qp, lam, W, H, fast, nmodes,
+                       intra_quant=True, return_costs=False):
     """Batched mode search + bottom-up split decisions. Returns
-    {size: mode_map}, split maps."""
+    {size: mode_map}, split maps (and per-size cost maps on request)."""
     modes = {}
     costs = {}
     for s in (8, 16, 32, 64):
@@ -131,8 +134,8 @@ def search_intra_frame(org, qp, lam, W, H, fast, nmodes):
         HB, WB = H // s, W // s
         blocks = org[:HB * s, :WB * s].reshape(HB, s, WB, s) \
             .transpose(0, 2, 1, 3).reshape(-1, s, s)
-        bm, bc = _search_fn(s, qp, fast, int(lam * 1000), nmodes)(
-            blocks, left, top, tl, ty, tx)
+        bm, bc = _search_fn(s, qp, fast, int(lam * 1000), nmodes,
+                            intra_quant)(blocks, left, top, tl, ty, tx)
         modes[s] = np.asarray(bm).reshape(HB, WB)
         costs[s] = np.asarray(bc).reshape(HB, WB).astype(np.int64)
 
@@ -145,6 +148,8 @@ def search_intra_frame(org, qp, lam, W, H, fast, nmodes):
         here = costs[s][:HB, :WB]
         split[s] = child < here
         agg = np.where(split[s], child, here)
+    if return_costs:
+        return modes, split, costs
     return modes, split
 
 
@@ -177,7 +182,8 @@ def _walk_tree(split, modes, W, H):
 
 
 @lru_cache(maxsize=None)
-def _encode_scan_fn(qpY: int, qpC: int, fast: bool, n_steps: int):
+def _encode_scan_fn(qpY: int, qpC: int, fast: bool, n_steps: int,
+                    intra_quant: bool = True):
     """Jitted exact-recon scans (luma + chroma) over chosen TUs."""
     zzs = {s: zigzag_for(min(s, 16)) for s in (4, 8, 16, 32, 64)}
 
@@ -203,7 +209,8 @@ def _encode_scan_fn(qpY: int, qpC: int, fast: bool, n_steps: int):
         def enc_branch(s):
             def br(_):
                 c = JK.fwd_transform_batch(resid[None, :s, :s], s, fast)
-                q, cbp = JK.quantize_fwd_batch(c, qp, s, True, zzs[s])
+                q, cbp = JK.quantize_fwd_batch(c, qp, s, intra_quant,
+                                               zzs[s])
                 lshift = qp // 6
                 rsh = int(np.log2(s)) - 1
                 fac = int(GDEQUANT_TABLE[qp % 6]) << lshift

@@ -593,9 +593,21 @@ class Encoder:
             w.putbits(6, r + 1)
         w.putbits(16, self.frame_num)
 
+        device_p = (p.device_encode and self.frame_type == P_FRAME
+                    and not p.max_delta_qp
+                    and self.width % 8 == 0 and self.height % 8 == 0
+                    and all(self.get_ref(i).frame_num < self.frame_num
+                            for i in range(self.num_ref)))
         if p.device_encode and self.frame_type == I_FRAME:
             from .device_intra import encode_intra_frame_device
             y, u, v = encode_intra_frame_device(
+                self, w, self.org_y, self.org_u, self.org_v)
+            self.rec_y[:], self.rec_u[:], self.rec_v[:] = y, u, v
+            num_sb_ver = 0
+            num_sb_hor = 0
+        elif device_p:
+            from .device_inter import encode_inter_frame_device
+            y, u, v = encode_inter_frame_device(
                 self, w, self.org_y, self.org_u, self.org_v)
             self.rec_y[:], self.rec_u[:], self.rec_v[:] = y, u, v
             num_sb_ver = 0
