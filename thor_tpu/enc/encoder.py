@@ -738,7 +738,10 @@ class Encoder:
 
     # --- sequence level ---
 
-    def encode_sequence(self, frames, out_path: str):
+    def encode_sequence(self, frames, out_path: str,
+                        checkpoint_path: str = None,
+                        checkpoint_every: int = 0,
+                        resume_path: str = None):
         """Full sequence loop (enc/mainenc.c:214-604): sub-GOP reorder
         (dyadic or sequential), frame typing, QP cascade, reference-list
         construction (LDB sliding window / dyadic RA / non-dyadic HDB
@@ -747,39 +750,65 @@ class Encoder:
         display-order reconstruction output.
 
         frames: full input clip as a list of (y, u, v) (display order).
-        Returns reconstructed frames in display order."""
+        Returns reconstructed frames in display order.
+
+        checkpoint_path + checkpoint_every=N: snapshot the complete
+        inter-frame state every N encoded frames (at sub-GOP
+        boundaries). resume_path: restore such a snapshot and continue
+        - the resumed stream (appended at the recorded byte offset) is
+        byte-identical to an uninterrupted encode; the return value
+        then covers only the newly encoded frames."""
+        from ..utils.checkpoint import (save_encoder_state,
+                                        load_encoder_state)
         p = self.params
         frames = list(frames)
         input_total = len(frames)
         w = BitWriter()
-        out = open(out_path, "wb")
 
-        # Sequence header (enc/mainenc.c:195-212)
-        w.putbits(16, self.width)
-        w.putbits(16, self.height)
-        w.putbits(1, p.enable_pb_split)
-        w.putbits(1, p.enable_tb_split)
-        w.putbits(2, p.max_num_ref - 1)
-        w.putbits(1, p.interp_ref)
-        w.putbits(3, p.max_delta_qp)
-        w.putbits(1, p.deblocking)
-        w.putbits(1, p.clpf)
-        w.putbits(1, p.use_block_contexts)
-        w.putbits(1, p.enable_bipred)
+        if resume_path is not None:
+            loop = load_encoder_state(self, resume_path)
+            out = open(out_path, "r+b")
+            out.truncate(loop["stream_bytes"])
+            out.seek(loop["stream_bytes"])
+            sub_gop = loop["sub_gop"]
+            p.num_reorder_pics = loop["num_reorder_pics"]
+            p.HQperiod = loop["HQperiod"]
+            num_encoded = loop["num_encoded"]
+            last_PorI = loop["last_PorI"]
+            self.last_intra_frame_num = loop["last_intra_frame_num"]
+            frame_num0 = loop["frame_num0"]
+            min_interp_depth = _log2i(p.num_reorder_pics + 1) - 2
+            if p.frame_rate > 30:
+                min_interp_depth -= 1
+        else:
+            out = open(out_path, "wb")
+            # Sequence header (enc/mainenc.c:195-212)
+            w.putbits(16, self.width)
+            w.putbits(16, self.height)
+            w.putbits(1, p.enable_pb_split)
+            w.putbits(1, p.enable_tb_split)
+            w.putbits(2, p.max_num_ref - 1)
+            w.putbits(1, p.interp_ref)
+            w.putbits(3, p.max_delta_qp)
+            w.putbits(1, p.deblocking)
+            w.putbits(1, p.clpf)
+            w.putbits(1, p.use_block_contexts)
+            w.putbits(1, p.enable_bipred)
 
-        sub_gop = max(1, p.num_reorder_pics + 1)
-        min_interp_depth = _log2i(p.num_reorder_pics + 1) - 2
-        if p.frame_rate > 30:
-            min_interp_depth -= 1
+            sub_gop = max(1, p.num_reorder_pics + 1)
+            min_interp_depth = _log2i(p.num_reorder_pics + 1) - 2
+            if p.frame_rate > 30:
+                min_interp_depth -= 1
 
-        num_encoded = 0
-        last_PorI = -1
-        self.last_intra_frame_num = 0
+            num_encoded = 0
+            last_PorI = -1
+            self.last_intra_frame_num = 0
+            frame_num0 = p.skip
+
         rec_avail = {}
-        last_output = -1
+        last_output = -1 if resume_path is None \
+            else frame_num0 - p.skip - 1
         display = []
-
-        frame_num0 = p.skip
         while (frame_num0 < p.skip + p.num_frames
                and frame_num0 + 1 <= input_total):
             for k in range(sub_gop):
@@ -812,6 +841,18 @@ class Encoder:
                 sub_gop = 1
                 p.num_reorder_pics = 0
             frame_num0 += sub_gop
+            if (checkpoint_path and checkpoint_every
+                    and num_encoded % checkpoint_every == 0):
+                out.flush()
+                save_encoder_state(self, checkpoint_path, {
+                    "frame_num0": frame_num0,
+                    "num_encoded": num_encoded,
+                    "last_PorI": last_PorI,
+                    "last_intra_frame_num": self.last_intra_frame_num,
+                    "sub_gop": sub_gop,
+                    "num_reorder_pics": p.num_reorder_pics,
+                    "HQperiod": p.HQperiod,
+                    "stream_bytes": out.tell()})
         out.close()
         for i in range(1, MAX_REORDER_BUFFER + 1):
             nxt = (last_output + i) % MAX_REORDER_BUFFER
