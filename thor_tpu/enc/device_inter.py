@@ -41,7 +41,7 @@ from jax import lax
 
 from ..codec.constants import (
     CHROMA_QP, GDEQUANT_TABLE, MODE_SKIP, MODE_INTER, MODE_INTRA,
-    MIN_BLOCK_SIZE, MAX_BLOCK_SIZE, zigzag_for)
+    MODE_MERGE, MIN_BLOCK_SIZE, MAX_BLOCK_SIZE, zigzag_for)
 from ..codec.blockdata import (
     find_block_contexts, get_mv_pred, get_mv_skip)
 from ..ops import jax_kernels as JK
@@ -95,9 +95,11 @@ def _recon_blocks(pred, q, s, qp):
 @lru_cache(maxsize=None)
 def _trial_fn(H: int, W: int, s: int, qpY: int, qpC: int, fastY: bool,
               fastC: bool):
-    """Jitted per-size trial coding of every full block with its ME MV:
-    returns per-block coded/zero SSDs (Y+U+V), bit proxies, cbp flags
-    and the quantized coefficients (device-resident)."""
+    """Jitted per-size trial coding of every full block at K motion
+    variants (ME MV, neighbour MVs, zero MV per ref - the candidate
+    set the skip/merge derivation can produce): per (variant, block)
+    coded/zero SSDs (Y+U+V), exact coeff bits, cbp flags and the
+    quantized coefficients (device-resident)."""
     Hc, Wc = H // 2, W // 2
     H4, W4 = H // 4, W // 4
     HB, WB = H // s, W // s
@@ -107,71 +109,47 @@ def _trial_fn(H: int, W: int, s: int, qpY: int, qpC: int, fastY: bool,
     zzc = zigzag_for(min(sc, 16))
 
     def f(orgY, orgU, orgV, phY, phU, phV, mvy, mvx, slot):
-        mvyc = _expand_blocks_to_cells(mvy, HB, WB, cpb, H4, W4)
-        mvxc = _expand_blocks_to_cells(mvx, HB, WB, cpb, H4, W4)
-        slc = _expand_blocks_to_cells(slot, HB, WB, cpb, H4, W4)
-        predY = JK.mc_gather_from_phases(phY, mvxc, mvyc, slc, PAD, 2, 4,
-                                         H, W, -2)
-        predU = JK.mc_gather_from_phases(phU, mvxc, mvyc, slc, PAD_C, 3,
-                                         2, Hc, Wc, -1)
-        predV = JK.mc_gather_from_phases(phV, mvxc, mvyc, slc, PAD_C, 3,
-                                         2, Hc, Wc, -1)
+        def one(mvy1, mvx1, slot1):
+            mvyc = _expand_blocks_to_cells(mvy1, HB, WB, cpb, H4, W4)
+            mvxc = _expand_blocks_to_cells(mvx1, HB, WB, cpb, H4, W4)
+            slc = _expand_blocks_to_cells(slot1, HB, WB, cpb, H4, W4)
+            predY = JK.mc_gather_from_phases(phY, mvxc, mvyc, slc, PAD,
+                                             2, 4, H, W, -2)
+            predU = JK.mc_gather_from_phases(phU, mvxc, mvyc, slc,
+                                             PAD_C, 3, 2, Hc, Wc, -1)
+            predV = JK.mc_gather_from_phases(phV, mvxc, mvyc, slc,
+                                             PAD_C, 3, 2, Hc, Wc, -1)
 
-        def plane_trial(org, pred, b, qp, zz, fast, chroma):
-            ob = _blocks_of(org.astype(jnp.int32), b, HB, WB)
-            pb = _blocks_of(pred, b, HB, WB)
-            resid = ob - pb
-            coeff = JK.fwd_transform_batch(resid, b, fast)
-            q, cbp = JK.quantize_fwd_batch(coeff, qp, b, False, zz)
-            rec = _recon_blocks(pb, q, b, qp)
-            ssd_c = ((ob - rec) ** 2).sum(axis=(1, 2))
-            ssd_p = (resid ** 2).sum(axis=(1, 2))
-            bits = coeff_bits_batch(q, b, False, chroma)
-            return q, cbp, ssd_c, ssd_p, bits
+            def plane_trial(org, pred, b, qp, zz, fast, chroma):
+                ob = _blocks_of(org.astype(jnp.int32), b, HB, WB)
+                pb = _blocks_of(pred, b, HB, WB)
+                resid = ob - pb
+                coeff = JK.fwd_transform_batch(resid, b, fast)
+                q, cbp = JK.quantize_fwd_batch(coeff, qp, b, False, zz)
+                rec = _recon_blocks(pb, q, b, qp)
+                ssd_c = ((ob - rec) ** 2).sum(axis=(1, 2))
+                ssd_p = (resid ** 2).sum(axis=(1, 2))
+                bits = coeff_bits_batch(q, b, False, chroma)
+                return q, cbp, ssd_c, ssd_p, bits
 
-        qy, cbpy, scy, spy, by = plane_trial(orgY, predY, s, qpY, zzy,
-                                             fastY, False)
-        qu, cbpu, scu, spu, bu = plane_trial(orgU, predU, sc, qpC, zzc,
-                                             fastC, True)
-        qv, cbpv, scv, spv, bv = plane_trial(orgV, predV, sc, qpC, zzc,
-                                             fastC, True)
-        return dict(
-            qy=qy, qu=qu, qv=qv,
-            cbp_y=cbpy, cbp_u=cbpu, cbp_v=cbpv,
-            ssd_coded=scy + scu + scv, ssd_pred=spy + spu + spv,
-            bits=(jnp.where(cbpy, by, 0) + jnp.where(cbpu, bu, 0)
-                  + jnp.where(cbpv, bv, 0)))
+            qy, cbpy, scy, spy, by = plane_trial(orgY, predY, s, qpY,
+                                                 zzy, fastY, False)
+            qu, cbpu, scu, spu, bu = plane_trial(orgU, predU, sc, qpC,
+                                                 zzc, fastC, True)
+            qv, cbpv, scv, spv, bv = plane_trial(orgV, predV, sc, qpC,
+                                                 zzc, fastC, True)
+            # a coded block carries only the planes with cbp set
+            ssd_c = (jnp.where(cbpy, scy, spy)
+                     + jnp.where(cbpu, scu, spu)
+                     + jnp.where(cbpv, scv, spv))
+            return dict(
+                qy=qy, qu=qu, qv=qv,
+                cbp_y=cbpy, cbp_u=cbpu, cbp_v=cbpv,
+                ssd_coded=ssd_c, ssd_pred=spy + spu + spv,
+                bits=(jnp.where(cbpy, by, 0) + jnp.where(cbpu, bu, 0)
+                      + jnp.where(cbpv, bv, 0)))
 
-    return jax.jit(f)
-
-
-@lru_cache(maxsize=None)
-def _zero_ssd_fn(H: int, W: int, R: int):
-    """Zero-MV SKIP measurement: SSD(org, ref_r) box-summed per block
-    size, Y+U+V combined. Returns {size: [R, N]}."""
-    Hc, Wc = H // 2, W // 2
-
-    def f(orgY, orgU, orgV, refY, refU, refV):
-        dY = (orgY.astype(jnp.int32)[None]
-              - refY[:, PAD:PAD + H, PAD:PAD + W].astype(jnp.int32)) ** 2
-        dU = (orgU.astype(jnp.int32)[None]
-              - refU[:, PAD_C:PAD_C + Hc, PAD_C:PAD_C + Wc]
-              .astype(jnp.int32)) ** 2
-        dV = (orgV.astype(jnp.int32)[None]
-              - refV[:, PAD_C:PAD_C + Hc, PAD_C:PAD_C + Wc]
-              .astype(jnp.int32)) ** 2
-        out = {}
-        for s in SIZES:
-            HB, WB = H // s, W // s
-            sc = s // 2
-            y = dY[:, :HB * s, :WB * s].reshape(R, HB, s, WB, s) \
-                .sum(axis=(2, 4))
-            u = dU[:, :HB * sc, :WB * sc].reshape(R, HB, sc, WB, sc) \
-                .sum(axis=(2, 4))
-            v = dV[:, :HB * sc, :WB * sc].reshape(R, HB, sc, WB, sc) \
-                .sum(axis=(2, 4))
-            out[s] = (y + u + v).reshape(R, -1)
-        return out
+        return jax.vmap(one)(mvy, mvx, slot)
 
     return jax.jit(f)
 
@@ -234,6 +212,8 @@ def _quote_super_mode(ectx, binfo, mode, ref_idx0):
     if ectx.interp_ref:
         if mode == MODE_SKIP:
             code = 0
+        elif mode == MODE_MERGE:
+            code = 2
         elif mode == MODE_INTRA:
             code = 4
         elif mode == MODE_INTER and ref_idx0 > 0:
@@ -253,6 +233,8 @@ def _quote_super_mode(ectx, binfo, mode, ref_idx0):
             code = 0
         elif mode == MODE_INTER and ref_idx0 == 0:
             code = 2
+        elif mode == MODE_MERGE:
+            code = 3
         elif mode == MODE_INTRA:
             code = 5
         else:
@@ -268,6 +250,20 @@ def _quote_super_mode(ectx, binfo, mode, ref_idx0):
     return maxbit if code == maxbit else code + 1
 
 
+def _quote_cbp(cbp_y, cbp_u, cbp_v, ctx_cbp0, merge):
+    """Bit count of the cbp code (enc/write_bits.c:287-347 counting)."""
+    from .syntax import CBP_TABLE
+    code = CBP_TABLE[cbp_y + 2 * cbp_u + 4 * cbp_v]
+    if merge:
+        if code == 1:
+            code = 7
+        elif code > 1:
+            code -= 1
+    elif ctx_cbp0 and code < 2:
+        code = 1 - code
+    return quote_vlc(0, code)
+
+
 def _skip_idx_bits(nvec, idx):
     if nvec >= 4:
         return 2
@@ -280,15 +276,16 @@ def _skip_idx_bits(nvec, idx):
 
 class _Leaf:
     __slots__ = ("ypos", "xpos", "size", "mode", "mv", "ref", "skip_idx",
-                 "intra_mode", "idx", "use_cbp", "cand")
+                 "intra_mode", "idx", "use_cbp", "cand", "k")
 
     def __init__(self, ypos, xpos, size, mode, mv=(0, 0), ref=0,
-                 skip_idx=0, intra_mode=0, idx=0, use_cbp=False):
+                 skip_idx=0, intra_mode=0, idx=0, use_cbp=False, k=0):
         self.ypos, self.xpos, self.size = ypos, xpos, size
         self.mode, self.mv, self.ref = mode, mv, ref
         self.skip_idx, self.intra_mode = skip_idx, intra_mode
         self.idx, self.use_cbp = idx, use_cbp
         self.cand = None
+        self.k = k
 
 
 def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
@@ -304,8 +301,10 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
         HBW = W // s
         idx = (y0 // s) * HBW + (x0 // s)
         m = meas[s]
+        K = m['mvx'].shape[0]
         binfo_ctx = find_block_contexts(y0, x0, H, W, s, dd,
                                         bool(p.use_block_contexts))
+        ctx_cbp0 = binfo_ctx.cbp == 0
 
         class _B:
             size = s
@@ -313,53 +312,75 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
         skip_cands = get_mv_skip(y0, x0, W, H, s, dd)
         mvp = get_mv_pred(y0, x0, W, H, s, dd)
 
-        best = None  # (cost, leaf, dd_store_args)
-        # --- SKIP candidates (zero-MV measured on device; others by a
-        # cheap host MC only when plausible) ---
+        def variant_of(c):
+            """Measured variant index matching candidate (mv, ref)."""
+            for k in range(K):
+                if (int(m['mvx'][k, idx]) == c.mv0x
+                        and int(m['mvy'][k, idx]) == c.mv0y
+                        and int(m['slot'][k, idx]) == c.ref_idx0):
+                    return k
+            return -1
+
+        best = None
+        # --- SKIP / MERGE candidates (every candidate whose MV was
+        # measured as one of the trial variants) ---
+        sm_skip = _quote_super_mode(enc, _B, MODE_SKIP, 0)
+        sm_merge = _quote_super_mode(enc, _B, MODE_MERGE, 0)
         for i, c in enumerate(skip_cands):
-            if c.bipred_flag == 2:
+            if c.bipred_flag not in (0,):
                 continue
-            if (c.mv0x, c.mv0y) == (0, 0):
-                ssd = int(m['ssd0'][c.ref_idx0, idx])
-            elif (c.mv0x, c.mv0y) == (int(m['mvx'][idx]),
-                                      int(m['mvy'][idx])) \
-                    and c.ref_idx0 == int(m['slot'][idx]):
-                ssd = int(m['ssd_pred'][idx])
-            else:
+            k = variant_of(c)
+            if k < 0:
                 continue
-            bits = _quote_super_mode(enc, _B, MODE_SKIP, 0) \
-                + _skip_idx_bits(len(skip_cands), i)
-            cost = ssd + int(lam * bits + 0.5)
+            bits = sm_skip + _skip_idx_bits(len(skip_cands), i)
+            cost = int(m['ssd_pred'][k, idx]) + int(lam * bits + 0.5)
             if best is None or cost < best[0]:
                 lf = _Leaf(y0, x0, s, MODE_SKIP,
                            mv=(c.mv0x, c.mv0y), ref=c.ref_idx0,
-                           skip_idx=i, idx=idx)
+                           skip_idx=i, idx=idx, k=k)
                 lf.cand = c
                 best = (cost, lf)
+            # MERGE: same candidate coded with residual
+            cy = int(m['cbp_y'][k, idx])
+            cu = int(m['cbp_u'][k, idx])
+            cv = int(m['cbp_v'][k, idx])
+            if cy or cu or cv:
+                bits = (sm_merge + _skip_idx_bits(len(skip_cands), i)
+                        + _quote_cbp(cy, cu, cv, ctx_cbp0, True)
+                        + int(m['bits'][k, idx]))
+                cost = int(m['ssd_coded'][k, idx]) \
+                    + int(lam * bits + 0.5)
+                if cost < best[0]:
+                    lf = _Leaf(y0, x0, s, MODE_MERGE,
+                               mv=(c.mv0x, c.mv0y), ref=c.ref_idx0,
+                               skip_idx=i, idx=idx, use_cbp=True, k=k)
+                    lf.cand = c
+                    best = (cost, lf)
 
-        # --- INTER (coded and zero-residual variants) ---
-        mv = (int(m['mvx'][idx]), int(m['mvy'][idx]))
-        ref = int(m['slot'][idx])
+        # --- INTER at the ME MV (coded and zero-residual variants) ---
+        mv = (int(m['mvx'][0, idx]), int(m['mvy'][0, idx]))
+        ref = int(m['slot'][0, idx])
         mvbits = quote_mv_bits(mv[1] - mvp[1], mv[0] - mvp[0])
         smbits = _quote_super_mode(enc, _B, MODE_INTER, ref)
-        has_cbp = bool(m['cbp_y'][idx] or m['cbp_u'][idx]
-                       or m['cbp_v'][idx])
-        cbp0_bits = quote_vlc(0, 1)
-        cost_zero = int(m['ssd_pred'][idx]) + int(
+        cy = int(m['cbp_y'][0, idx])
+        cu = int(m['cbp_u'][0, idx])
+        cv = int(m['cbp_v'][0, idx])
+        cbp0_bits = _quote_cbp(0, 0, 0, ctx_cbp0, False)
+        cost_zero = int(m['ssd_pred'][0, idx]) + int(
             lam * (smbits + mvbits + cbp0_bits) + 0.5)
-        cost_coded = int(m['ssd_coded'][idx]) + int(
-            lam * (smbits + mvbits + int(m['bits'][idx]) + 2) + 0.5)
-        if has_cbp and cost_coded < cost_zero:
+        cost_coded = int(m['ssd_coded'][0, idx]) + int(
+            lam * (smbits + mvbits + int(m['bits'][0, idx])
+                   + _quote_cbp(cy, cu, cv, ctx_cbp0, False)) + 0.5)
+        if (cy or cu or cv) and cost_coded < cost_zero:
             cost, use_cbp = cost_coded, True
         else:
             cost, use_cbp = cost_zero, False
         if best is None or cost < best[0]:
             best = (cost, _Leaf(y0, x0, s, MODE_INTER, mv=mv, ref=ref,
-                                idx=idx, use_cbp=use_cbp))
+                                idx=idx, use_cbp=use_cbp, k=0))
 
         # --- INTRA ---
         smbits = _quote_super_mode(enc, _B, MODE_INTRA, 0)
-        HBW_i = W // s
         ic = int(intra_costs[s][y0 // s, x0 // s]) \
             + int(lam * smbits + 0.5)
         if ic < best[0]:
@@ -374,19 +395,27 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
         # mv0/mv1/ref0/ref1/dir exactly: the skip-candidate derivation
         # (and its dedup keys) read those fields, so decision-time and
         # emission-time candidate lists must be identical.
-        if lf.mode == MODE_SKIP:
+        def plane_cbp(lf):
+            if not lf.use_cbp:
+                return (0, 0, 0)
+            m = meas[lf.size]
+            return (int(m['cbp_y'][lf.k, lf.idx]),
+                    int(m['cbp_u'][lf.k, lf.idx]),
+                    int(m['cbp_v'][lf.k, lf.idx]))
+
+        if lf.mode in (MODE_SKIP, MODE_MERGE):
             c = lf.cand
             mv0 = ((c.mv0x, c.mv0y),) * 4
             mv1 = ((c.mv1x, c.mv1y),) * 4
             dd.store_block(lf.ypos, lf.xpos, lf.size, lf.size, lf.size,
-                           MODE_SKIP, (0, 0, 0), 0, 0, mv0, mv1,
+                           lf.mode, plane_cbp(lf), 0, 0, mv0, mv1,
                            c.ref_idx0, c.ref_idx1, c.bipred_flag)
         elif lf.mode == MODE_INTER:
-            cbp = (1, 1, 1) if lf.use_cbp else (0, 0, 0)
             mv0 = (lf.mv,) * 4
             mv1 = ((0, 0),) * 4
             dd.store_block(lf.ypos, lf.xpos, lf.size, lf.size, lf.size,
-                           MODE_INTER, cbp, 0, 0, mv0, mv1, lf.ref, 0, 0)
+                           MODE_INTER, plane_cbp(lf), 0, 0, mv0, mv1,
+                           lf.ref, 0, 0)
         else:
             # INTRA normalization: dir=-1, zero MVs, ref 0
             # (enc/encode_block.c:2028, dec read_block rec.dir=-1)
@@ -472,19 +501,49 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     phV = JK.mc_phase_conv(jnp.asarray(refV), lutC, PAD_C)
 
     # --- device measurements ---
+    # Per block, K motion variants are trial-coded: k=0 the ME MV,
+    # k=1 the left neighbour's ME MV, k=2 the up-right neighbour's
+    # (the two positions the skip/merge derivation reads,
+    # common/inter_prediction.c:331-348), then zero MV per reference.
     me = DM.me_frame(org_y, refY, phY, lam_me, H, W)
     meas = {}
     trials_dev = {}
     for s in SIZES:
         mvy, mvx, slot, _ = me[s]
+        HB, WB = H // s, W // s
+
+        def neigh(a, di, dj):
+            """Value of the (di, dj)-offset neighbour block (zero at
+            frame edges)."""
+            g = a.reshape(HB, WB).astype(np.int32)
+            out = np.zeros_like(g)
+            rs = slice(max(di, 0), HB + min(di, 0))
+            cs = slice(max(dj, 0), WB + min(dj, 0))
+            rsrc = slice(max(-di, 0), HB + min(-di, 0))
+            csrc = slice(max(-dj, 0), WB + min(-dj, 0))
+            out[rs, cs] = g[rsrc, csrc]
+            return out.reshape(-1)
+
+        var_y = [mvy, neigh(mvy, 0, 1), neigh(mvy, 1, -1)]
+        var_x = [mvx, neigh(mvx, 0, 1), neigh(mvx, 1, -1)]
+        var_s = [slot, neigh(slot, 0, 1), neigh(slot, 1, -1)]
+        zero = np.zeros_like(mvy)
+        for r in range(R):
+            var_y.append(zero)
+            var_x.append(zero)
+            var_s.append(np.full_like(slot, r))
+        mvyk = np.stack(var_y).astype(np.int32)
+        mvxk = np.stack(var_x).astype(np.int32)
+        slotk = np.stack(var_s).astype(np.int32)
+
         fastY = (s == 64 and fast64) or fast32
         t = _trial_fn(H, W, s, qpY, qpC, fastY, fast32)(
             jnp.asarray(org_y), jnp.asarray(org_u), jnp.asarray(org_v),
-            phY, phU, phV, jnp.asarray(mvy), jnp.asarray(mvx),
-            jnp.asarray(slot))
+            phY, phU, phV, jnp.asarray(mvyk), jnp.asarray(mvxk),
+            jnp.asarray(slotk))
         trials_dev[s] = t
         meas[s] = {
-            'mvy': mvy, 'mvx': mvx, 'slot': slot,
+            'mvy': mvyk, 'mvx': mvxk, 'slot': slotk,
             'ssd_coded': np.asarray(t['ssd_coded']),
             'ssd_pred': np.asarray(t['ssd_pred']),
             'bits': np.asarray(t['bits']),
@@ -492,14 +551,9 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
             'cbp_u': np.asarray(t['cbp_u']),
             'cbp_v': np.asarray(t['cbp_v']),
         }
-    ssd0 = _zero_ssd_fn(H, W, R)(
-        jnp.asarray(org_y), jnp.asarray(org_u), jnp.asarray(org_v),
-        jnp.asarray(refY), jnp.asarray(refU), jnp.asarray(refV))
-    for s in SIZES:
-        meas[s]['ssd0'] = np.asarray(ssd0[s])
 
     intra_modes, intra_split, intra_costs = search_intra_frame(
-        org_y, qpY, lam, W, H, p.encoder_speed > 1,
+        org_y, org_u, org_v, qpY, qpC, lam, W, H, p.encoder_speed > 1,
         enc.num_intra_modes, intra_quant=False, return_costs=True)
 
     # --- decision walk ---
@@ -522,7 +576,7 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         mvxc[cy:cy + cs, cx:cx + cs] = lf.mv[0]
         mvyc[cy:cy + cs, cx:cx + cs] = lf.mv[1]
         slc[cy:cy + cs, cx:cx + cs] = lf.ref
-        if lf.mode == MODE_INTER and lf.use_cbp:
+        if lf.use_cbp:
             coded[lf.size].append(lf)
 
     groups = []
@@ -545,13 +599,14 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         def padi(a, fill=0):
             return np.concatenate([a, np.full(npad - n, fill, a.dtype)])
 
+        ks = jnp.asarray(np.array([lf.k for lf in lst], np.int32))
         sel = jnp.asarray(idxs)
-        qy = trials_dev[s]['qy'][sel]
+        qy = trials_dev[s]['qy'][ks, sel]
         if s == 64:
             # 64-blocks carry a 32x32 transform (low quadrant)
             qy = qy[:, :32, :32]
-        qu = trials_dev[s]['qu'][sel]
-        qv = trials_dev[s]['qv'][sel]
+        qu = trials_dev[s]['qu'][ks, sel]
+        qv = trials_dev[s]['qv'][ks, sel]
         sy = 32 if s == 64 else s
         zpad = npad - n
         if zpad:
@@ -564,11 +619,14 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         # zero chroma coeffs where the plane cbp is 0 (the stream only
         # carries coeffs for planes with cbp set)
         cbu = padi(np.array(
-            [int(meas[s]['cbp_u'][lf.idx]) for lf in lst], np.int16))
+            [int(meas[s]['cbp_u'][lf.k, lf.idx]) for lf in lst],
+            np.int16))
         cbv = padi(np.array(
-            [int(meas[s]['cbp_v'][lf.idx]) for lf in lst], np.int16))
+            [int(meas[s]['cbp_v'][lf.k, lf.idx]) for lf in lst],
+            np.int16))
         cby = padi(np.array(
-            [int(meas[s]['cbp_y'][lf.idx]) for lf in lst], np.int16))
+            [int(meas[s]['cbp_y'][lf.k, lf.idx]) for lf in lst],
+            np.int16))
         qy = qy * jnp.asarray(cby)[:, None, None]
         qu = qu * jnp.asarray(cbu)[:, None, None]
         qv = qv * jnp.asarray(cbv)[:, None, None]
@@ -656,11 +714,12 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     for s in SIZES:
         lst = coded[s]
         if lst:
+            ks = jnp.asarray(np.array([lf.k for lf in lst], np.int32))
             sel = jnp.asarray(np.array([lf.idx for lf in lst], np.int32))
             coeff_host[s] = {
-                'qy': np.asarray(trials_dev[s]['qy'][sel]),
-                'qu': np.asarray(trials_dev[s]['qu'][sel]),
-                'qv': np.asarray(trials_dev[s]['qv'][sel]),
+                'qy': np.asarray(trials_dev[s]['qy'][ks, sel]),
+                'qu': np.asarray(trials_dev[s]['qu'][ks, sel]),
+                'qv': np.asarray(trials_dev[s]['qv'][ks, sel]),
                 'index': {(lf.ypos, lf.xpos): i
                           for i, lf in enumerate(lst)}}
 
@@ -697,30 +756,37 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         binfo.num_skip_vec = len(skip_cands)
         binfo.mvp = get_mv_pred(y0, x0, W, H, s, enc.deblock_data)
 
+        def attach_coeffs(bp, lf):
+            ch = coeff_host[s]
+            i = ch['index'][(y0, x0)]
+            bp.coeff_y = ch['qy'][i]
+            bp.coeff_u = ch['qu'][i]
+            bp.coeff_v = ch['qv'][i]
+            bp.cbp = (int(meas[s]['cbp_y'][lf.k, lf.idx]),
+                      int(meas[s]['cbp_u'][lf.k, lf.idx]),
+                      int(meas[s]['cbp_v'][lf.k, lf.idx]))
+
         bp = BlockParam(mode=lf.mode)
-        if lf.mode == MODE_SKIP:
+        if lf.mode in (MODE_SKIP, MODE_MERGE):
             bp.skip_idx = lf.skip_idx
             c = skip_cands[lf.skip_idx]
+            binfo.num_merge_vec = len(skip_cands)
             bp.ref_idx0, bp.ref_idx1 = c.ref_idx0, c.ref_idx1
             bp.mv_arr0 = ((c.mv0x, c.mv0y),) * 4
             bp.mv_arr1 = ((c.mv1x, c.mv1y),) * 4
             bp.dir = c.bipred_flag
-            bp.cbp = (0, 0, 0)
+            if lf.mode == MODE_MERGE:
+                bp.tb_param = 0
+                attach_coeffs(bp, lf)
+            else:
+                bp.cbp = (0, 0, 0)
         elif lf.mode == MODE_INTER:
             bp.ref_idx0 = lf.ref
             bp.mv_arr0 = (lf.mv,) * 4
             bp.pb_part = 0
             bp.tb_param = 0
             if lf.use_cbp:
-                ch = coeff_host[s]
-                i = ch['index'][(y0, x0)]
-                cy = int(meas[s]['cbp_y'][lf.idx])
-                cu = int(meas[s]['cbp_u'][lf.idx])
-                cv = int(meas[s]['cbp_v'][lf.idx])
-                bp.coeff_y = ch['qy'][i]
-                bp.coeff_u = ch['qu'][i]
-                bp.coeff_v = ch['qv'][i]
-                bp.cbp = (cy, cu, cv)
+                attach_coeffs(bp, lf)
             else:
                 bp.cbp = (0, 0, 0)
         else:  # INTRA

@@ -70,52 +70,118 @@ def _block_refs_host(org, s, W, H):
             leftlen.astype(np.int32))
 
 
+def _intra_mode_bits(nmodes: int):
+    """Signalling bits per intra mode (write_block intra branch,
+    enc/write_bits.c:418-437)."""
+    from .syntax import (INTRA_MODE_MAP_8, INTRA_LEN_8, INTRA_MODE_MAP_10,
+                         INTRA_LEN_10)
+    if nmodes <= 4:
+        return [2] * max(nmodes, 4)
+    if nmodes <= 8:
+        return [INTRA_LEN_8[INTRA_MODE_MAP_8[m]] for m in range(8)]
+    return [INTRA_LEN_10[INTRA_MODE_MAP_10[m]] for m in range(10)]
+
+
+# quote_vlc(0, CBP_TABLE-code) per cbp = y + 2u + 4v, ignoring the
+# block_context.cbp==0 swap of codes 0<->1 (unknown at search time;
+# +-1 bit, identical across modes of the same block most of the time).
+_CBP_BITS = tuple(
+    (c + 1) if c < 6 else 7
+    for c in [1, 0, 5, 2, 6, 3, 7, 4])  # CBP_TABLE, enc/write_bits.c:293
+
+
+def _recon_from_q(pred, q, s, qp):
+    """Exact dequant + inverse transform + add (the decoder's math,
+    common/common_block.c:132-156)."""
+    lshift = qp // 6
+    rsh = int(np.log2(s)) - 1
+    fac = int(GDEQUANT_TABLE[qp % 6]) << lshift
+    rc = jnp.clip((q.astype(jnp.int32) * fac + (1 << (rsh - 1))) >> rsh,
+                  -32768, 32767).astype(jnp.int16)
+    if s == 64:
+        rr = JK.idct_batch(rc[:, :32, :32], 32)
+        rr = jnp.repeat(jnp.repeat(rr, 2, axis=1), 2, axis=2)
+    else:
+        rr = JK.idct_batch(rc, s)
+    return jnp.clip(pred + rr, 0, 255)
+
+
 @lru_cache(maxsize=None)
-def _search_fn(s: int, qp: int, fast: bool, lam_milli: int,
+def _search_fn(s: int, qpY: int, qpC: int, fast: bool, lam_milli: int,
                nmodes: int, intra_quant: bool = True):
-    """Jitted per-size search: best mode + cost for all blocks.
+    """Jitted per-size search: best mode + cost for all blocks, scored
+    by the exact RD measure - true Y+U+V reconstruction SSD plus
+    lambda times the exact stream bits (write_coeff cost via the device
+    VLC automaton, intra-mode signalling, cbp code).
     intra_quant: quantizer offset set (intra on I frames only -
     enc/encode_block.c passes (frame_type==I_FRAME)<<1 as coeff type)."""
-    zz = zigzag_for(min(s, 16))
+    from ..ops.coeff_bits import coeff_bits_batch
+    zzy = zigzag_for(min(s, 16))
+    sc = s // 2
+    zzc = zigzag_for(min(sc, 16))
     lam = lam_milli / 1000.0
+    mbits = _intra_mode_bits(nmodes)
 
-    def f(blocks, left, top, tl, ty, tx):
-        n = blocks.shape[0]
+    def plane_mode(blocks, pred, b, qp, zz):
+        resid = blocks - pred
+        coeff = JK.fwd_transform_batch(resid, b, fast)
+        q, cbp = JK.quantize_fwd_batch(coeff, qp, b, intra_quant, zz)
+        rec = _recon_from_q(pred, q, b, qp)
+        ssd = ((blocks - rec) ** 2).sum(axis=(1, 2))
+        return q, cbp.astype(jnp.int32), ssd
+
+    def f(by, leftY, topY, tlY, ty, tx,
+          bu, bv, leftC, topC, tlU, tlV, tyc, txc):
+        n = by.shape[0]
+        by = by.astype(jnp.int32)
+        bu = bu.astype(jnp.int32)
+        bv = bv.astype(jnp.int32)
+        qys, qus, qvs = [], [], []
+        cbps, ssds = [], []
+        for mode in range(nmodes):
+            predY = jax.vmap(
+                lambda L, T, t, y, x: JK.intra_predict(
+                    L, T, t, y, x, s, mode))(leftY, topY, tlY, ty, tx)
+            predU = jax.vmap(
+                lambda L, T, t, y, x: JK.intra_predict(
+                    L, T, t, y, x, sc, mode))(
+                leftC[:, 0], topC[:, 0], tlU, tyc, txc)
+            predV = jax.vmap(
+                lambda L, T, t, y, x: JK.intra_predict(
+                    L, T, t, y, x, sc, mode))(
+                leftC[:, 1], topC[:, 1], tlV, tyc, txc)
+            qy, cy, sy_ = plane_mode(by, predY[:, :s, :s], s, qpY, zzy)
+            qu, cu, su_ = plane_mode(bu, predU[:, :sc, :sc], sc, qpC, zzc)
+            qv, cv, sv_ = plane_mode(bv, predV[:, :sc, :sc], sc, qpC, zzc)
+            qys.append(qy)
+            qus.append(qu)
+            qvs.append(qv)
+            cbps.append(jnp.stack([cy, cu, cv], 1))
+            ssds.append(sy_ + su_ + sv_)
+
+        # exact write_coeff bits for every (mode, block) in one batched
+        # automaton run per plane
+        bity = coeff_bits_batch(jnp.concatenate(qys), s, True, False) \
+            .reshape(nmodes, n)
+        bitu = coeff_bits_batch(jnp.concatenate(qus), sc, True, True) \
+            .reshape(nmodes, n)
+        bitv = coeff_bits_batch(jnp.concatenate(qvs), sc, True, True) \
+            .reshape(nmodes, n)
+
         best_cost = jnp.full((n,), 1 << 30, jnp.int32)
         best_mode = jnp.zeros((n,), jnp.int32)
         for mode in range(nmodes):
-            pred = jax.vmap(
-                lambda L, T, t, y, x: JK.intra_predict(
-                    L, T, t, y, x, s, mode))(left, top, tl, ty, tx)
-            pred = pred[:, :s, :s]
-            resid = blocks.astype(jnp.int32) - pred
-            coeff = JK.fwd_transform_batch(resid, s, fast)
-            q, cbp = JK.quantize_fwd_batch(coeff, qp, s, intra_quant, zz)
-            # dequant + inverse for true distortion of this choice
-            lshift = qp // 6
-            tsz = s
-            rsh = (int(np.log2(tsz)) - 1)
-            fac = int(GDEQUANT_TABLE[qp % 6]) << lshift
-            rc = jnp.clip((q.astype(jnp.int32) * fac + (1 << (rsh - 1)))
-                          >> rsh, -32768, 32767).astype(jnp.int16)
-            if s == 64:
-                rr = JK.idct_batch(rc[:, :32, :32], 32)
-                rr = jnp.repeat(jnp.repeat(rr, 2, axis=1), 2, axis=2)
-            else:
-                rr = JK.idct_batch(rc, s)
-            rec = jnp.clip(pred + rr, 0, 255)
-            ssd = ((blocks.astype(jnp.int32) - rec) ** 2) \
-                .sum(axis=(1, 2))
-            aq = jnp.abs(q.astype(jnp.int32))
-            nnz = (aq != 0).sum(axis=(1, 2))
-            mag = jnp.ceil(jnp.log2(aq.astype(jnp.float32) + 1.0)) \
-                .astype(jnp.int32).sum(axis=(1, 2))
-            # calibrated against actually-emitted write_block bits
-            # (incl. chroma share): bits ~ 7.5 + 5.6*nnz + 1.14*mag,
-            # R^2 = 0.96 on CIF intra frames
-            bits = 8 + (11 * nnz) // 2 + (9 * mag) // 8
-            # luma-only distortion; x1.2 approximates the chroma share
-            cost = (ssd * 6) // 5 + (lam * bits + 0.5).astype(jnp.int32)
+            cy, cu, cv = (cbps[mode][:, 0], cbps[mode][:, 1],
+                          cbps[mode][:, 2])
+            cbp = cy + 2 * cu + 4 * cv
+            cbp_bits = jnp.zeros((n,), jnp.int32)
+            for c, bb in enumerate(_CBP_BITS):
+                cbp_bits = jnp.where(cbp == c, bb, cbp_bits)
+            bits = (mbits[mode] + cbp_bits
+                    + jnp.where(cy != 0, bity[mode], 0)
+                    + jnp.where(cu != 0, bitu[mode], 0)
+                    + jnp.where(cv != 0, bitv[mode], 0))
+            cost = ssds[mode] + (lam * bits + 0.5).astype(jnp.int32)
             better = cost < best_cost
             best_cost = jnp.where(better, cost, best_cost)
             best_mode = jnp.where(better, mode, best_mode)
@@ -123,19 +189,34 @@ def _search_fn(s: int, qp: int, fast: bool, lam_milli: int,
     return jax.jit(f)
 
 
-def search_intra_frame(org, qp, lam, W, H, fast, nmodes,
-                       intra_quant=True, return_costs=False):
+def search_intra_frame(org, org_u, org_v, qp, qpC, lam, W, H, fast,
+                       nmodes, intra_quant=True, return_costs=False):
     """Batched mode search + bottom-up split decisions. Returns
     {size: mode_map}, split maps (and per-size cost maps on request)."""
     modes = {}
     costs = {}
+
+    def blk(plane, b, HB, WB):
+        return plane[:HB * b, :WB * b].reshape(HB, b, WB, b) \
+            .transpose(0, 2, 1, 3).reshape(-1, b, b)
+
     for s in (8, 16, 32, 64):
         ty, tx, top, left, tl, _, _ = _block_refs_host(org, s, W, H)
+        sc = s // 2
+        tyc, txc, topU, leftU, tlU, _, _ = _block_refs_host(
+            org_u, sc, W // 2, H // 2)
+        _, _, topV, leftV, tlV, _, _ = _block_refs_host(
+            org_v, sc, W // 2, H // 2)
         HB, WB = H // s, W // s
-        blocks = org[:HB * s, :WB * s].reshape(HB, s, WB, s) \
-            .transpose(0, 2, 1, 3).reshape(-1, s, s)
-        bm, bc = _search_fn(s, qp, fast, int(lam * 1000), nmodes,
-                            intra_quant)(blocks, left, top, tl, ty, tx)
+        blocks = blk(org, s, HB, WB)
+        bu = blk(org_u, sc, HB, WB)
+        bv = blk(org_v, sc, HB, WB)
+        leftC = np.stack([leftU, leftV], 1)
+        topC = np.stack([topU, topV], 1)
+        bm, bc = _search_fn(s, qp, qpC, fast, int(lam * 1000), nmodes,
+                            intra_quant)(
+            blocks, left, top, tl, ty, tx,
+            bu, bv, leftC, topC, tlU, tlV, tyc, txc)
         modes[s] = np.asarray(bm).reshape(HB, WB)
         costs[s] = np.asarray(bc).reshape(HB, WB).astype(np.int64)
 
@@ -269,7 +350,8 @@ def encode_intra_frame_device(enc, w, org_y, org_u, org_v):
     fast = p.encoder_speed > 1
     lam = enc.lambda_
 
-    modes, split = search_intra_frame(org_y, qpY, lam, W, H, fast,
+    modes, split = search_intra_frame(org_y, org_u, org_v, qpY, qpC,
+                                      lam, W, H, fast,
                                       enc.num_intra_modes)
     tus = _walk_tree(split, modes, W, H)
 

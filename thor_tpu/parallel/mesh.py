@@ -32,6 +32,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..dec.reconstruct_jax import FrameConfig, _frame_fn
 
 
+def init_distributed(coordinator: str = None, num_processes: int = None,
+                     process_id: int = None):
+    """Multi-host bring-up: initialize jax.distributed so
+    make_decode_mesh sees every host's chips (jax.devices() is then
+    global). On TPU pods the three arguments are auto-detected from the
+    environment; pass them explicitly elsewhere (coordinator =
+    'host:port' of process 0). Lay the 'gop' axis across hosts (DCN)
+    and 'tile' within a host (ICI): frames exchange no data, so only
+    reference-plane broadcasts cross the host boundary.
+    Idempotent - safe to call when already initialized."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized (or single-process run)
+    return jax.process_index(), jax.process_count()
+
+
 def make_decode_mesh(devices=None, gop: int = 0, tile: int = 0) -> Mesh:
     """Mesh over ('gop', 'tile'). Default: split devices 2 x N/2."""
     if devices is None:
