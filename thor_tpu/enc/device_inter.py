@@ -12,22 +12,23 @@ Pipeline per P-frame:
  1. all-phase interpolation planes for every reference (shared by ME,
     trial coding and final reconstruction).
  2. device ME (device_me): per-block MV + best ref for sizes 8..64.
- 3. device trial coding per size: MC -> residual -> transform ->
-    quantize -> reconstruct; SSD + coefficient-bit proxy per block
-    (both the coded and the zero-residual variant).
- 4. device zero-MV SSD maps per reference (the SKIP measurements).
- 5. host decision walk (raster/quadtree order, mirroring
-    process_block's bottom-up recursion): derives the exact skip
-    candidates and MV predictors from the evolving side-info map and
-    picks SKIP / INTER / INTRA per leaf from the device cost maps.
- 6. device final reconstruction: whole-frame MC with the decided
+ 3. device trial coding per size at K motion variants (ME MV,
+    left/up-right neighbour MVs, zero MV per ref): MC -> residual ->
+    transform -> quantize -> reconstruct; exact SSD + exact coeff
+    bits per (variant, block).
+ 4. host decision walk (raster/quadtree order, mirroring
+    process_block's bottom-up recursion): derives the exact
+    skip/merge candidates and MV predictors from the evolving
+    side-info map and picks SKIP / MERGE / INTER / INTRA per leaf by
+    matching candidates against the measured variants.
+ 5. device final reconstruction: whole-frame MC with the decided
     per-cell MV field + residual scatter of the chosen coefficients +
     exact intra scan for intra-coded leaves.
- 7. host syntax emission through the exact bitstream writers.
+ 6. host syntax emission through the exact bitstream writers.
 
-The toolset is deliberately restricted (PART_NONE, tb_split=0, no
-merge/bipred, non-RDOQ quantization); every emitted stream is fully
-valid Thor syntax.
+The toolset is restricted (PART_NONE, tb_split=0, no bipred,
+non-RDOQ quantization); every emitted stream is fully valid Thor
+syntax.
 """
 
 from __future__ import annotations
@@ -50,10 +51,15 @@ from ..bitstream.writer import quote_vlc
 from .inter import quote_mv_bits
 from .syntax import write_block, write_super_mode
 from . import device_me as DM
+from ..utils.tracing import StageTimer
 
 PAD = JK.PAD_Y
 PAD_C = JK.PAD_C
 SIZES = (8, 16, 32, 64)
+
+#: per-stage wall clock of the device P-frame pipeline (read/reset by
+#: profiling callers; .report() prints the breakdown)
+TIMER = StageTimer()
 
 
 # ---------------------------------------------------------------------------
@@ -494,21 +500,25 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     refU = np.stack([r.u for r in refs])
     refV = np.stack([r.v for r in refs])
 
-    lutY = JK.build_luma_mc_lut(int(p.enable_bipred))
-    lutC = JK.build_chroma_mc_lut()
-    phY = JK.mc_phase_conv(jnp.asarray(refY), lutY, PAD)
-    phU = JK.mc_phase_conv(jnp.asarray(refU), lutC, PAD_C)
-    phV = JK.mc_phase_conv(jnp.asarray(refV), lutC, PAD_C)
+    _t = TIMER
+    with _t.stage('phases'):
+        lutY = JK.build_luma_mc_lut(int(p.enable_bipred))
+        lutC = JK.build_chroma_mc_lut()
+        phY = JK.mc_phase_conv(jnp.asarray(refY), lutY, PAD)
+        phU = JK.mc_phase_conv(jnp.asarray(refU), lutC, PAD_C)
+        phV = JK.mc_phase_conv(jnp.asarray(refV), lutC, PAD_C)
 
     # --- device measurements ---
     # Per block, K motion variants are trial-coded: k=0 the ME MV,
     # k=1 the left neighbour's ME MV, k=2 the up-right neighbour's
     # (the two positions the skip/merge derivation reads,
     # common/inter_prediction.c:331-348), then zero MV per reference.
-    me = DM.me_frame(org_y, refY, phY, lam_me, H, W)
+    with _t.stage('me'):
+        me = DM.me_frame(org_y, refY, phY, lam_me, H, W)
     meas = {}
     trials_dev = {}
-    for s in SIZES:
+    with _t.stage('trials'):
+      for s in SIZES:
         mvy, mvx, slot, _ = me[s]
         HB, WB = H // s, W // s
 
@@ -552,14 +562,17 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
             'cbp_v': np.asarray(t['cbp_v']),
         }
 
-    intra_modes, intra_split, intra_costs = search_intra_frame(
-        org_y, org_u, org_v, qpY, qpC, lam, W, H, p.encoder_speed > 1,
-        enc.num_intra_modes, intra_quant=False, return_costs=True)
+    with _t.stage('intra_search'):
+        intra_modes, intra_split, intra_costs = search_intra_frame(
+            org_y, org_u, org_v, qpY, qpC, lam, W, H,
+            p.encoder_speed > 1, enc.num_intra_modes,
+            intra_quant=False, return_costs=True)
 
     # --- decision walk ---
     enc.deblock_data.reset()
-    leaves, splits = _decide_frame(enc, meas, intra_modes, intra_costs,
-                                   lam, lam_me)
+    with _t.stage('decide'):
+        leaves, splits = _decide_frame(enc, meas, intra_modes,
+                                       intra_costs, lam, lam_me)
 
     # --- final reconstruction (decoder's program) ---
     H4, W4 = H // 4, W // 4
@@ -645,13 +658,15 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         }
         groups.append((s, npad))
 
-    y_d, u_d, v_d = _final_mc_fn(H, W, tuple(groups))(
-        phY, phU, phV, jnp.asarray(mvxc), jnp.asarray(mvyc),
-        jnp.asarray(slc), ginp)
+    with _t.stage('final_mc'):
+        y_d, u_d, v_d = _final_mc_fn(H, W, tuple(groups))(
+            phY, phU, phV, jnp.asarray(mvxc), jnp.asarray(mvyc),
+            jnp.asarray(slc), ginp)
 
     # --- exact intra scan over intra-coded leaves ---
     intra_q = {}
     if intra_leaves:
+      with _t.stage('intra_scan'):
         n = len(intra_leaves)
         npad = max(128, 1 << (n - 1).bit_length())
         ty = np.array([lf.ypos for lf in intra_leaves], np.int32)
@@ -705,9 +720,10 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
             'index': {(lf.ypos, lf.xpos): i
                       for i, lf in enumerate(intra_leaves)}}
 
-    y = np.asarray(y_d).astype(np.uint8)
-    u = np.asarray(u_d).astype(np.uint8)
-    v = np.asarray(v_d).astype(np.uint8)
+    with _t.stage('fetch_recon'):
+        y = np.asarray(y_d).astype(np.uint8)
+        u = np.asarray(u_d).astype(np.uint8)
+        v = np.asarray(v_d).astype(np.uint8)
 
     # --- syntax emission with exact contexts ---
     coeff_host = {}
@@ -809,8 +825,9 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         binfo.block_param = bp
         enc.store_deblock_data(binfo)
 
-    for k in range(0, H, MAX_BLOCK_SIZE):
-        for l in range(0, W, MAX_BLOCK_SIZE):
-            emit(MAX_BLOCK_SIZE, k, l)
+    with _t.stage('emit'):
+        for k in range(0, H, MAX_BLOCK_SIZE):
+            for l in range(0, W, MAX_BLOCK_SIZE):
+                emit(MAX_BLOCK_SIZE, k, l)
 
     return y, u, v
