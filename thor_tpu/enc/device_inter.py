@@ -84,10 +84,12 @@ def _blocks_of(plane, b, HB, WB):
 def _recon_blocks(pred, q, s, qp):
     """Exact dequant + inverse transform + reconstruct for [N, s, s]
     blocks (mirrors the decoder: common/common_block.c:132-156,
-    common/transform.c:432-518)."""
-    lshift = qp // 6
+    common/transform.c:432-518). qp may be a traced int32 scalar."""
+    qp = jnp.asarray(qp, jnp.int32)
     rsh = int(np.log2(s)) - 1
-    fac = int(GDEQUANT_TABLE[qp % 6]) << lshift
+    fac = jnp.left_shift(
+        jnp.asarray(np.asarray(GDEQUANT_TABLE, np.int32))[qp % 6],
+        qp // 6)
     rc = jnp.clip((q.astype(jnp.int32) * fac + (1 << (rsh - 1))) >> rsh,
                   -32768, 32767).astype(jnp.int16)
     if s == 64:
@@ -99,13 +101,13 @@ def _recon_blocks(pred, q, s, qp):
 
 
 @lru_cache(maxsize=None)
-def _trial_fn(H: int, W: int, s: int, qpY: int, qpC: int, fastY: bool,
-              fastC: bool):
+def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool):
     """Jitted per-size trial coding of every full block at K motion
     variants (ME MV, neighbour MVs, zero MV per ref - the candidate
     set the skip/merge derivation can produce): per (variant, block)
     coded/zero SSDs (Y+U+V), exact coeff bits, cbp flags and the
-    quantized coefficients (device-resident)."""
+    quantized coefficients (device-resident). qpY/qpC are traced, so
+    one compile covers the whole GOP QP cascade."""
     Hc, Wc = H // 2, W // 2
     H4, W4 = H // 4, W // 4
     HB, WB = H // s, W // s
@@ -114,7 +116,7 @@ def _trial_fn(H: int, W: int, s: int, qpY: int, qpC: int, fastY: bool,
     zzy = zigzag_for(min(s, 16))
     zzc = zigzag_for(min(sc, 16))
 
-    def f(orgY, orgU, orgV, phY, phU, phV, mvy, mvx, slot):
+    def f(orgY, orgU, orgV, phY, phU, phV, mvy, mvx, slot, qpY, qpC):
         def one(mvy1, mvx1, slot1):
             mvyc = _expand_blocks_to_cells(mvy1, HB, WB, cpb, H4, W4)
             mvxc = _expand_blocks_to_cells(mvx1, HB, WB, cpb, H4, W4)
@@ -161,40 +163,69 @@ def _trial_fn(H: int, W: int, s: int, qpY: int, qpC: int, fastY: bool,
 
 
 @lru_cache(maxsize=None)
-def _final_mc_fn(H: int, W: int, groups):
+def _final_mc_fn(H: int, W: int):
     """Jitted final reconstruction stage 1: whole-frame MC with the
-    decided per-cell MV field + residual scatter of the chosen
-    coefficients (exactly the decoder's program shape,
-    dec/reconstruct_jax.py). groups: tuple of (size, npad)."""
-    Hc, Wc = H // 2, W // 2
+    decided per-cell MV field + dense per-size residual planes
+    (exactly the decoder's math, dec/reconstruct_jax.py).
 
-    def f(phY, phU, phV, mvxc, mvyc, slc, g):
+    Every block position of every size is dequant+IDCT'd - blocks not
+    chosen as coded leaves at that size carry zeroed coefficients and
+    contribute nothing - so the compiled program depends only on the
+    frame geometry (one compile per resolution, none of the per-frame
+    coded-leaf-count buckets the previous scatter design needed), and
+    the residual placement is a pure reshape instead of a scatter."""
+    Hc, Wc = H // 2, W // 2
+    dq = jnp.asarray(np.asarray(GDEQUANT_TABLE, np.int32))
+
+    def dense_add(r, q, cb, s, sy, fac, HH, WW):
+        """Add the [N, sy, sy] coeff blocks' residuals (masked by cb)
+        into the [HH, WW] plane at their raster-grid positions."""
+        HB, WB = HH // s, WW // s
+        N = HB * WB
+        # dequant shift follows the BLOCK size (64-blocks dequantize
+        # with shift 5 although their transform is 32x32 -
+        # common/common_block.c:132-146)
+        sh = int(np.log2(s)) - 1
+        q = jnp.where(cb[:, None, None], q, 0)
+        vals = JK.residual_group(
+            q, jnp.broadcast_to(fac, (N,)),
+            jnp.full((N,), 1 << (sh - 1), jnp.int32),
+            jnp.full((N,), sh, jnp.int32), sy)
+        if sy != s:
+            vals = jnp.repeat(jnp.repeat(vals, 2, axis=1), 2, axis=2)
+        d = vals.reshape(HB, WB, s, s).transpose(0, 2, 1, 3) \
+            .reshape(HB * s, WB * s)
+        return r.at[:HB * s, :WB * s].add(d)
+
+    def f(phY, phU, phV, mvxc, mvyc, slc, trials, qpY, qpC):
         pY = JK.mc_gather_from_phases(phY, mvxc, mvyc, slc, PAD, 2, 4,
                                       H, W, -2)
         pU = JK.mc_gather_from_phases(phU, mvxc, mvyc, slc, PAD_C, 3, 2,
                                       Hc, Wc, -1)
         pV = JK.mc_gather_from_phases(phV, mvxc, mvyc, slc, PAD_C, 3, 2,
                                       Hc, Wc, -1)
+        facY = jnp.left_shift(dq[qpY % 6], qpY // 6)
+        facC = jnp.left_shift(dq[qpC % 6], qpC // 6)
         rY = jnp.zeros((H, W), jnp.int32)
         rU = jnp.zeros((Hc, Wc), jnp.int32)
         rV = jnp.zeros((Hc, Wc), jnp.int32)
-        for s, _ in groups:
-            gg = g[s]
-            vals = JK.residual_group(gg['qy'], gg['f'], gg['a'], gg['sh'],
-                                     32 if s == 64 else s)
+        for s in SIZES:
+            t = trials[s]
+            HB, WB = H // s, W // s
+            if HB == 0 or WB == 0:
+                continue
+            ar = jnp.arange(HB * WB)
+            k, m = t['k'], t['m']
+            qy = t['qy'][k, ar]
             if s == 64:
-                vals = jnp.repeat(jnp.repeat(vals, 2, axis=1), 2, axis=2)
-            rY = JK.scatter_tu(rY, vals, gg['y'], gg['x'])
+                qy = qy[:, :32, :32]
             sc = s // 2
-            for pl, key in ((0, 'qu'), (1, 'qv')):
-                vals = JK.residual_group(gg[key], gg['fc'], gg['ac'],
-                                         gg['shc'], sc)
-                tgt = rU if pl == 0 else rV
-                tgt = JK.scatter_tu(tgt, vals, gg['y'] // 2, gg['x'] // 2)
-                if pl == 0:
-                    rU = tgt
-                else:
-                    rV = tgt
+            rY = dense_add(rY, qy, t['cbp_y'][k, ar] & m, s,
+                           32 if s == 64 else s, facY, H, W)
+            rU = dense_add(rU, t['qu'][k, ar], t['cbp_u'][k, ar] & m,
+                           sc, sc, facC, Hc, Wc)
+            rV = dense_add(rV, t['qv'][k, ar], t['cbp_v'][k, ar] & m,
+                           sc, sc, facC, Hc, Wc)
         y = jnp.clip(pY + rY, 0, 255)
         u = jnp.clip(pU + rU, 0, 255)
         v = jnp.clip(pV + rV, 0, 255)
@@ -547,10 +578,10 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         slotk = np.stack(var_s).astype(np.int32)
 
         fastY = (s == 64 and fast64) or fast32
-        t = _trial_fn(H, W, s, qpY, qpC, fastY, fast32)(
+        t = _trial_fn(H, W, s, fastY, fast32)(
             jnp.asarray(org_y), jnp.asarray(org_u), jnp.asarray(org_v),
             phY, phU, phV, jnp.asarray(mvyk), jnp.asarray(mvxk),
-            jnp.asarray(slotk))
+            jnp.asarray(slotk), jnp.int32(qpY), jnp.int32(qpC))
         trials_dev[s] = t
         meas[s] = {
             'mvy': mvyk, 'mvx': mvxk, 'slot': slotk,
@@ -592,76 +623,28 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         if lf.use_cbp:
             coded[lf.size].append(lf)
 
-    groups = []
-    ginp = {}
+    # per-size chosen-variant index + coded mask over the full raster
+    # block grid (static shapes: the jitted final stage is keyed on the
+    # frame geometry alone)
+    tsel = {}
     for s in SIZES:
-        lst = coded[s]
-        if not lst:
-            continue
-        n = len(lst)
-        npad = max(16, 1 << (n - 1).bit_length())
-        idxs = np.array([lf.idx for lf in lst], np.int32)
-        sc = s // 2
-        tsz = s
-        tszc = sc
-        sh = int(np.log2(tsz)) - 1
-        shc = int(np.log2(tszc)) - 1
-        fac = int(GDEQUANT_TABLE[qpY % 6]) << (qpY // 6)
-        facc = int(GDEQUANT_TABLE[qpC % 6]) << (qpC // 6)
-
-        def padi(a, fill=0):
-            return np.concatenate([a, np.full(npad - n, fill, a.dtype)])
-
-        ks = jnp.asarray(np.array([lf.k for lf in lst], np.int32))
-        sel = jnp.asarray(idxs)
-        qy = trials_dev[s]['qy'][ks, sel]
-        if s == 64:
-            # 64-blocks carry a 32x32 transform (low quadrant)
-            qy = qy[:, :32, :32]
-        qu = trials_dev[s]['qu'][ks, sel]
-        qv = trials_dev[s]['qv'][ks, sel]
-        sy = 32 if s == 64 else s
-        zpad = npad - n
-        if zpad:
-            qy = jnp.concatenate(
-                [qy, jnp.zeros((zpad, sy, sy), jnp.int16)])
-            qu = jnp.concatenate(
-                [qu, jnp.zeros((zpad, sc, sc), jnp.int16)])
-            qv = jnp.concatenate(
-                [qv, jnp.zeros((zpad, sc, sc), jnp.int16)])
-        # zero chroma coeffs where the plane cbp is 0 (the stream only
-        # carries coeffs for planes with cbp set)
-        cbu = padi(np.array(
-            [int(meas[s]['cbp_u'][lf.k, lf.idx]) for lf in lst],
-            np.int16))
-        cbv = padi(np.array(
-            [int(meas[s]['cbp_v'][lf.k, lf.idx]) for lf in lst],
-            np.int16))
-        cby = padi(np.array(
-            [int(meas[s]['cbp_y'][lf.k, lf.idx]) for lf in lst],
-            np.int16))
-        qy = qy * jnp.asarray(cby)[:, None, None]
-        qu = qu * jnp.asarray(cbu)[:, None, None]
-        qv = qv * jnp.asarray(cbv)[:, None, None]
-        ginp[s] = {
-            'qy': qy, 'qu': qu, 'qv': qv,
-            'f': jnp.full((npad,), fac, jnp.int32),
-            'a': jnp.full((npad,), 1 << (sh - 1), jnp.int32),
-            'sh': jnp.full((npad,), sh, jnp.int32),
-            'fc': jnp.full((npad,), facc, jnp.int32),
-            'ac': jnp.full((npad,), 1 << (shc - 1), jnp.int32),
-            'shc': jnp.full((npad,), shc, jnp.int32),
-            'y': jnp.asarray(padi(np.array(
-                [lf.ypos for lf in lst], np.int32))),
-            'x': jnp.asarray(padi(np.array(
-                [lf.xpos for lf in lst], np.int32))),
-        }
-        groups.append((s, npad))
+        HB, WB = H // s, W // s
+        N = HB * WB
+        ksel = np.zeros(N, np.int32)
+        msk = np.zeros(N, bool)
+        for lf in coded[s]:
+            ksel[lf.idx] = lf.k
+            msk[lf.idx] = True
+        t = trials_dev[s]
+        tsel[s] = {'qy': t['qy'], 'qu': t['qu'], 'qv': t['qv'],
+                   'cbp_y': t['cbp_y'], 'cbp_u': t['cbp_u'],
+                   'cbp_v': t['cbp_v'],
+                   'k': jnp.asarray(ksel), 'm': jnp.asarray(msk)}
 
     with _t.stage('final_mc'):
-        y_d, u_d, v_d = _final_mc_fn(H, W, tuple(groups))(
+        y_d, u_d, v_d = _final_mc_fn(H, W)(
             phY, phU, phV, jnp.asarray(mvxc), jnp.asarray(mvyc),
-            jnp.asarray(slc), ginp)
+            jnp.asarray(slc), tsel, jnp.int32(qpY), jnp.int32(qpC))
 
     # --- exact intra scan over intra-coded leaves ---
     intra_q = {}
@@ -688,7 +671,7 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
             "valid": padn(np.ones(n, np.int32)),
         }
         luma_fn, chroma_fn = _encode_scan_fn(
-            qpY, qpC, p.encoder_speed > 1, npad, intra_quant=False)
+            p.encoder_speed > 1, npad, intra_quant=False)
 
         def pad_for(plane):
             return jnp.pad(jnp.asarray(plane, jnp.int32),
@@ -696,7 +679,7 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
 
         P = pad_for(y_d)
         O = pad_for(org_y)
-        P, q16y, cbpy = luma_fn(P, O, arr)
+        P, q16y, cbpy = luma_fn(P, O, arr, jnp.int32(qpY))
         y_d = P[JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]
 
         arrc = dict(arr)
@@ -710,7 +693,8 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         Pv = pad_for(v_d)
         Ou = pad_for(org_u)
         Ov = pad_for(org_v)
-        Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(Pu, Pv, Ou, Ov, arrc)
+        Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(Pu, Pv, Ou, Ov, arrc,
+                                                   jnp.int32(qpC))
         u_d = Pu[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
         v_d = Pv[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
         intra_q = {

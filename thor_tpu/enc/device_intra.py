@@ -92,10 +92,12 @@ _CBP_BITS = tuple(
 
 def _recon_from_q(pred, q, s, qp):
     """Exact dequant + inverse transform + add (the decoder's math,
-    common/common_block.c:132-156)."""
-    lshift = qp // 6
+    common/common_block.c:132-156). qp may be a traced int32 scalar."""
+    qp = jnp.asarray(qp, jnp.int32)
     rsh = int(np.log2(s)) - 1
-    fac = int(GDEQUANT_TABLE[qp % 6]) << lshift
+    fac = jnp.left_shift(
+        jnp.asarray(np.asarray(GDEQUANT_TABLE, np.int32))[qp % 6],
+        qp // 6)
     rc = jnp.clip((q.astype(jnp.int32) * fac + (1 << (rsh - 1))) >> rsh,
                   -32768, 32767).astype(jnp.int16)
     if s == 64:
@@ -107,19 +109,19 @@ def _recon_from_q(pred, q, s, qp):
 
 
 @lru_cache(maxsize=None)
-def _search_fn(s: int, qpY: int, qpC: int, fast: bool, lam_milli: int,
-               nmodes: int, intra_quant: bool = True):
+def _search_fn(s: int, fast: bool, nmodes: int,
+               intra_quant: bool = True):
     """Jitted per-size search: best mode + cost for all blocks, scored
     by the exact RD measure - true Y+U+V reconstruction SSD plus
     lambda times the exact stream bits (write_coeff cost via the device
     VLC automaton, intra-mode signalling, cbp code).
+    qpY/qpC/lam are traced, so one compile covers the GOP QP cascade.
     intra_quant: quantizer offset set (intra on I frames only -
     enc/encode_block.c passes (frame_type==I_FRAME)<<1 as coeff type)."""
     from ..ops.coeff_bits import coeff_bits_batch
     zzy = zigzag_for(min(s, 16))
     sc = s // 2
     zzc = zigzag_for(min(sc, 16))
-    lam = lam_milli / 1000.0
     mbits = _intra_mode_bits(nmodes)
 
     def plane_mode(blocks, pred, b, qp, zz):
@@ -131,7 +133,7 @@ def _search_fn(s: int, qpY: int, qpC: int, fast: bool, lam_milli: int,
         return q, cbp.astype(jnp.int32), ssd
 
     def f(by, leftY, topY, tlY, ty, tx,
-          bu, bv, leftC, topC, tlU, tlV, tyc, txc):
+          bu, bv, leftC, topC, tlU, tlV, tyc, txc, qpY, qpC, lam):
         n = by.shape[0]
         by = by.astype(jnp.int32)
         bu = bu.astype(jnp.int32)
@@ -213,10 +215,10 @@ def search_intra_frame(org, org_u, org_v, qp, qpC, lam, W, H, fast,
         bv = blk(org_v, sc, HB, WB)
         leftC = np.stack([leftU, leftV], 1)
         topC = np.stack([topU, topV], 1)
-        bm, bc = _search_fn(s, qp, qpC, fast, int(lam * 1000), nmodes,
-                            intra_quant)(
+        bm, bc = _search_fn(s, fast, nmodes, intra_quant)(
             blocks, left, top, tl, ty, tx,
-            bu, bv, leftC, topC, tlU, tlV, tyc, txc)
+            bu, bv, leftC, topC, tlU, tlV, tyc, txc,
+            jnp.int32(qp), jnp.int32(qpC), jnp.float32(lam))
         modes[s] = np.asarray(bm).reshape(HB, WB)
         costs[s] = np.asarray(bc).reshape(HB, WB).astype(np.int64)
 
@@ -263,9 +265,11 @@ def _walk_tree(split, modes, W, H):
 
 
 @lru_cache(maxsize=None)
-def _encode_scan_fn(qpY: int, qpC: int, fast: bool, n_steps: int,
+def _encode_scan_fn(fast: bool, n_steps: int,
                     intra_quant: bool = True):
-    """Jitted exact-recon scans (luma + chroma) over chosen TUs."""
+    """Jitted exact-recon scans (luma + chroma) over chosen TUs.
+    The returned fns take the frame QP as a traced trailing arg (one
+    compile covers the GOP QP cascade)."""
     zzs = {s: zigzag_for(min(s, 16)) for s in (4, 8, 16, 32, 64)}
 
     def tu_step(qp, P, O, tu, sizes_list):
@@ -292,9 +296,10 @@ def _encode_scan_fn(qpY: int, qpC: int, fast: bool, n_steps: int,
                 c = JK.fwd_transform_batch(resid[None, :s, :s], s, fast)
                 q, cbp = JK.quantize_fwd_batch(c, qp, s, intra_quant,
                                                zzs[s])
-                lshift = qp // 6
                 rsh = int(np.log2(s)) - 1
-                fac = int(GDEQUANT_TABLE[qp % 6]) << lshift
+                fac = jnp.left_shift(
+                    jnp.asarray(np.asarray(GDEQUANT_TABLE, np.int32))
+                    [qp % 6], qp // 6)
                 rc = jnp.clip(
                     (q.astype(jnp.int32) * fac + (1 << (rsh - 1))) >> rsh,
                     -32768, 32767).astype(jnp.int16)
@@ -322,13 +327,17 @@ def _encode_scan_fn(qpY: int, qpC: int, fast: bool, n_steps: int,
                                      (JK.PADI + ty, JK.PADI + tx))
         return P, (q16, cbp & (tu["valid"] != 0))
 
-    def luma(P, O, tus):
+    def luma(P, O, tus, qpY):
+        qpY = jnp.asarray(qpY, jnp.int32)
+
         def step(P, tu):
             return tu_step(qpY, P, O, tu, (8, 16, 32, 64))
         P, (q16, cbp) = lax.scan(step, P, tus)
         return P, q16, cbp
 
-    def chroma(Pu, Pv, Ou, Ov, tus):
+    def chroma(Pu, Pv, Ou, Ov, tus, qpC):
+        qpC = jnp.asarray(qpC, jnp.int32)
+
         def step(carry, tu):
             Pu, Pv = carry
             Pu, (qu, cu) = tu_step(qpC, Pu, Ou, tu, (4, 8, 16, 32))
@@ -386,10 +395,10 @@ def encode_intra_frame_device(enc, w, org_y, org_u, org_v):
         "valid": padn(np.ones(n, np.int32)),
     }
 
-    luma_fn, chroma_fn = _encode_scan_fn(qpY, qpC, fast, npad)
+    luma_fn, chroma_fn = _encode_scan_fn(fast, npad)
     P = pad_for(np.zeros((H, W)), 0)
     O = pad_for(org_y, 0)
-    P, q16y, cbpy = luma_fn(P, O, arr)
+    P, q16y, cbpy = luma_fn(P, O, arr, jnp.int32(qpY))
     y = np.asarray(P[JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]) \
         .astype(np.uint8)
 
@@ -404,7 +413,8 @@ def encode_intra_frame_device(enc, w, org_y, org_u, org_v):
     Pv = pad_for(np.zeros((H // 2, W // 2)), 0)
     Ou = pad_for(org_u, 0)
     Ov = pad_for(org_v, 0)
-    Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(Pu, Pv, Ou, Ov, arrc)
+    Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(Pu, Pv, Ou, Ov, arrc,
+                                               jnp.int32(qpC))
     u = np.asarray(Pu[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]) \
         .astype(np.uint8)
     v = np.asarray(Pv[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]) \

@@ -918,13 +918,15 @@ def fwd_transform_batch(resid, size: int, fast: bool = False):
     return out.at[:, :qsize, :qsize].set(coeff)
 
 
-def quantize_fwd_batch(coeff, qp: int, size: int, intra: bool,
+def quantize_fwd_batch(coeff, qp, size: int, intra: bool,
                        zigzag_inv):
     """Vectorized forward quantizer (the non-RDOQ core of
     enc/encode_block.c:75-132): zigzag scan, last-pos search with the
     38/-26 offsets, forward quant with the 102/51 / 115/90 offsets.
 
-    coeff: [N, size, size]; zigzag_inv: [qsize*qsize] indices such that
+    coeff: [N, size, size]; qp: python int OR traced int32 scalar (so
+    jitted callers compile once across the GOP's QP cascade);
+    zigzag_inv: [qsize*qsize] indices such that
     scoeff[zz[i*q+j]] = coeff[i,j]. Returns ([N, size, size] levels,
     [N] cbp flags).
     """
@@ -932,21 +934,23 @@ def quantize_fwd_batch(coeff, qp: int, size: int, intra: bool,
     qsize = min(size, 16)
     Nc = qsize * qsize
     tr_log2size = int(np.log2(size))
-    scale = int(GQUANT_TABLE[qp % 6])
+    qp = jnp.asarray(qp, jnp.int32)
+    scale = jnp.asarray(np.asarray(GQUANT_TABLE, np.int32))[qp % 6]
     shift2 = 21 - tr_log2size + qp // 6
 
     block = coeff[:, :qsize, :qsize].reshape(-1, Nc).astype(jnp.int32)
     zz = jnp.asarray(zigzag_inv)
     scoeff = jnp.zeros_like(block).at[:, zz].set(block)
 
-    off_last = ((38 if intra else -26) << (shift2 - 8))
+    off_last = jnp.left_shift(jnp.int32(38 if intra else -26),
+                              shift2 - 8)
     lvl = jnp.abs(jnp.abs(scoeff) * scale + off_last) >> shift2
     nz = lvl != 0
     pos_idx = jnp.arange(Nc)
     last_pos = jnp.max(jnp.where(nz, pos_idx, -1), axis=1)   # [N]
 
-    off0 = (102 if intra else 51) << (shift2 - 8)
-    off1 = (115 if intra else 90) << (shift2 - 8)
+    off0 = jnp.left_shift(jnp.int32(102 if intra else 51), shift2 - 8)
+    off1 = jnp.left_shift(jnp.int32(115 if intra else 90), shift2 - 8)
     sign = jnp.where(scoeff < 0, -1, 1)
     absc = scale * jnp.abs(scoeff)
     level0 = absc >> shift2
