@@ -73,6 +73,37 @@ def synthetic_device_fps():
     return iters / best
 
 
+def encode_fps_1080(n_frames=6):
+    """Secondary: 1080p device-encode throughput (LDB low complexity,
+    batched device ME + trial RDO P-frames, exact host syntax).
+
+    Encodes the same frames twice in one process: the first pass pays
+    every program compile, the second reuses them all and is the
+    reported steady-state number."""
+    import subprocess
+
+    yuv = ROOT / "testdata" / "test_1080.yuv"
+    if not yuv.exists():
+        subprocess.run([sys.executable, "gen_input_1080.py"],
+                       cwd=ROOT / "testdata", check=True)
+    from thor_tpu.enc.encoder import (EncoderParams, Encoder,
+                                      read_yuv_frames)
+    frames = list(read_yuv_frames(str(yuv), 1920, 1080))[:n_frames]
+
+    def run():
+        p = EncoderParams.from_config_file(
+            "/root/reference/config_LDB_low_complexity.txt",
+            width=1920, height=1080, num_frames=len(frames),
+            device_encode=1)
+        enc = Encoder(p)
+        t0 = time.perf_counter()
+        enc.encode_sequence(frames, os.devnull)
+        return len(frames) / (time.perf_counter() - t0)
+
+    run()
+    return run()
+
+
 def main():
     # warmup pass: compiles every frame-shape class (cached across runs
     # via the persistent compilation cache) and checks bit-exactness.
@@ -90,6 +121,13 @@ def main():
     except Exception:
         synth = None
 
+    enc_fps = None
+    if os.environ.get("THOR_BENCH_ENCODE", "1") != "0":
+        try:
+            enc_fps = round(encode_fps_1080(), 2)
+        except Exception:
+            enc_fps = None
+
     print(json.dumps({
         "metric": "1080p_decode_e2e_fps",
         "value": round(fps, 2),
@@ -98,6 +136,7 @@ def main():
         "bit_exact": exact,
         "frames": n2,
         "synthetic_inter_device_fps": synth,
+        "1080p_device_encode_fps": enc_fps,
     }))
 
 

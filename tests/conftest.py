@@ -24,6 +24,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 from pathlib import Path
 
+import jax
+
+# The axon TPU plugin overrides the JAX_PLATFORMS env var and probes
+# the (possibly unreachable) tunnel; the config flag wins and keeps the
+# suite on the virtual CPU mesh unconditionally.
+jax.config.update("jax_platforms", "cpu")
+
 REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))

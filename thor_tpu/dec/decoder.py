@@ -93,6 +93,12 @@ class Decoder:
 
             y, u, v, display_num = self.decode_frame(br)
             decoded += 1
+            # start the device->host copy immediately (non-blocking);
+            # by the time this frame is materialized a frame later the
+            # bytes are already on the host side of the link
+            for p in (y, u, v):
+                if hasattr(p, "copy_to_host_async"):
+                    p.copy_to_host_async()
             reorder[display_num % MAX_REORDER_BUFFER] = (y, u, v)
             # Materialize one frame behind the decode so the previous
             # frame's device->host transfer (started asynchronously by

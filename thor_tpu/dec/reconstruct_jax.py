@@ -490,6 +490,7 @@ def _jit_intra_c(H: int, W: int):
 def _jit_filters(H: int, W: int, deblocking: bool, clpf: bool):
     def f(y, u, v, dd, beta, tc, tcC, m8y, m8u, m8v):
         if deblocking:
+            dd = {k: a.astype(jnp.int32) for k, a in dd.items()}
             y = JK.deblock_luma(y, dd, H, W, beta, tc)
             u = JK.deblock_chroma(u, dd, H, W, tcC)
             v = JK.deblock_chroma(v, dd, H, W, tcC)
