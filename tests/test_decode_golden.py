@@ -39,6 +39,18 @@ def test_bit_exact_decode(name):
     assert mismatch == 0, f"{name}: {mismatch} mismatching bytes"
 
 
+def test_bit_exact_decode_ra16_long():
+    """33-frame RA16 stream: two full dyadic sub-GOPs with frame
+    reorder (the committed 10-frame goldens are below one sub-GOP).
+    Golden is the SHA-256 of the reference Thordec output
+    (testdata/gen_input_long.py; the 5 MB YUV itself is not
+    committed)."""
+    import hashlib
+    got = _decode_concat(TESTDATA / "RA16_long.bit")
+    want = (TESTDATA / "RA16_long_dec.sha256").read_text().split()[0]
+    assert hashlib.sha256(got.tobytes()).hexdigest() == want
+
+
 def test_python_parse_fallback_parity():
     """The pure-Python parser (fallback when no C compiler is available)
     must agree with the native entropy layer."""

@@ -176,7 +176,7 @@ class Decoder:
         from ..native import parse_frame
         from .native_adapter import seqhdr_from_python
         from .native_inputs import build_frame_inputs_native
-        from .reconstruct_jax import _staged_frame
+        from .reconstruct_jax import _run_frame
 
         seq = self.seq
         cs = seqhdr_from_python(seq)
@@ -206,7 +206,7 @@ class Decoder:
             self.interp_frame = RefFrame(y, u, v, dfn)
         cfg, inp = build_frame_inputs_native(
             nf, seq, self.refs, self.interp_frame, seq.deblocking)
-        yd, ud, vd = _staged_frame(cfg, inp)
+        yd, ud, vd = _run_frame(cfg, inp)
         for a in (yd, ud, vd):
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()

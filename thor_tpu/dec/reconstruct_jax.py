@@ -369,25 +369,33 @@ def _jitted(cfg: FrameConfig):
 # stage instead of the whole frame program; intermediates stay on
 # device between stages.
 
+def _resid_y_body(s, ry, coeff, fac, add, sh, ys, xs):
+    vals = JK.residual_group(coeff, fac, add, sh, 32 if s == 64 else s)
+    if s == 64:
+        vals = jnp.repeat(jnp.repeat(vals, 2, axis=1), 2, axis=2)
+    return JK.scatter_tu(ry, vals, ys, xs)
+
+
+def _resid_c_body(s, rc, coeff, fac, add, sh, ys, xs, pl):
+    vals = JK.residual_group(coeff, fac, add, sh, s)
+    ar = jnp.arange(s, dtype=jnp.int32)
+    yy = ys[:, None, None] + ar[None, :, None]
+    xx = xs[:, None, None] + ar[None, None, :]
+    plb = jnp.broadcast_to(pl[:, None, None], vals.shape)
+    return rc.at[plb, yy, xx].add(vals)
+
+
 @lru_cache(maxsize=None)
 def _jit_resid_y(s: int):
     def f(ry, coeff, fac, add, sh, ys, xs):
-        vals = JK.residual_group(coeff, fac, add, sh, 32 if s == 64 else s)
-        if s == 64:
-            vals = jnp.repeat(jnp.repeat(vals, 2, axis=1), 2, axis=2)
-        return JK.scatter_tu(ry, vals, ys, xs)
+        return _resid_y_body(s, ry, coeff, fac, add, sh, ys, xs)
     return jax.jit(f, donate_argnums=0)
 
 
 @lru_cache(maxsize=None)
 def _jit_resid_c(s: int):
     def f(rc, coeff, fac, add, sh, ys, xs, pl):
-        vals = JK.residual_group(coeff, fac, add, sh, s)
-        ar = jnp.arange(s, dtype=jnp.int32)
-        yy = ys[:, None, None] + ar[None, :, None]
-        xx = xs[:, None, None] + ar[None, None, :]
-        plb = jnp.broadcast_to(pl[:, None, None], vals.shape)
-        return rc.at[plb, yy, xx].add(vals)
+        return _resid_c_body(s, rc, coeff, fac, add, sh, ys, xs, pl)
     return jax.jit(f, donate_argnums=0)
 
 
@@ -486,20 +494,26 @@ def _jit_intra_c(H: int, W: int):
     return jax.jit(f)
 
 
+def _filters_body(H, W, deblocking, clpf, y, u, v, dd, beta, tc, tcC,
+                  m8y, m8u, m8v):
+    if deblocking:
+        dd = {k: a.astype(jnp.int32) for k, a in dd.items()}
+        y = JK.deblock_luma(y, dd, H, W, beta, tc)
+        u = JK.deblock_chroma(u, dd, H, W, tcC)
+        v = JK.deblock_chroma(v, dd, H, W, tcC)
+    if clpf:
+        y = JK.clpf_plane(y, m8y, 64, H, W)
+        u = JK.clpf_plane(u, m8u, 32, H // 2, W // 2)
+        v = JK.clpf_plane(v, m8v, 32, H // 2, W // 2)
+    return (y.astype(jnp.uint8), u.astype(jnp.uint8),
+            v.astype(jnp.uint8))
+
+
 @lru_cache(maxsize=None)
 def _jit_filters(H: int, W: int, deblocking: bool, clpf: bool):
     def f(y, u, v, dd, beta, tc, tcC, m8y, m8u, m8v):
-        if deblocking:
-            dd = {k: a.astype(jnp.int32) for k, a in dd.items()}
-            y = JK.deblock_luma(y, dd, H, W, beta, tc)
-            u = JK.deblock_chroma(u, dd, H, W, tcC)
-            v = JK.deblock_chroma(v, dd, H, W, tcC)
-        if clpf:
-            y = JK.clpf_plane(y, m8y, 64, H, W)
-            u = JK.clpf_plane(u, m8u, 32, H // 2, W // 2)
-            v = JK.clpf_plane(v, m8v, 32, H // 2, W // 2)
-        return (y.astype(jnp.uint8), u.astype(jnp.uint8),
-                v.astype(jnp.uint8))
+        return _filters_body(H, W, deblocking, clpf, y, u, v, dd, beta,
+                             tc, tcC, m8y, m8u, m8v)
     return jax.jit(f, donate_argnums=(0, 1, 2))
 
 
@@ -560,9 +574,152 @@ def _staged_frame(cfg: FrameConfig, inp):
         inp.get('m8v', zmask))
 
 
+def use_fused() -> bool:
+    """One jitted program per frame signature instead of ~12 stage
+    dispatches. Every stage dispatch through a tunneled chip pays RPC
+    latency, so fusing is the production default; THOR_FUSED=0 falls
+    back to the stage-wise path (whose per-stage shape-class sharing
+    keeps compile counts lower - useful off-TPU and for bisecting)."""
+    import os
+    return os.environ.get("THOR_FUSED", "1") not in ("0", "")
+
+
+@lru_cache(maxsize=256)
+def _jit_fused(cfg: FrameConfig, pmc: bool, pit_y: bool, pit_c: bool,
+               interpret: bool):
+    """The whole frame program of _staged_frame as ONE jitted function
+    (stage bodies are shared with the stage-wise path). jax.jit keys on
+    the input pytree's shapes, so one cache entry per cfg covers every
+    TU-count bucket combination."""
+    H, W = cfg.H, cfg.W
+    Hc, Wc = H // 2, W // 2
+    if cfg.R > 0:
+        lutY = JK.build_luma_mc_lut(cfg.bipred_filter)
+        lutC = JK.build_chroma_mc_lut()
+
+    def f(inp):
+        ry = jnp.zeros((H, W), jnp.int32)
+        rc = jnp.zeros((2, Hc, Wc), jnp.int32)
+        for s, _ in cfg.groups_y:
+            g = inp[f'gy{s}']
+            ry = _resid_y_body(s, ry, g['coeff'], g['f'], g['a'],
+                               g['sh'], g['y'], g['x'])
+        for s, _ in cfg.groups_c:
+            g = inp[f'gc{s}']
+            rc = _resid_c_body(s, rc, g['coeff'], g['f'], g['a'],
+                               g['sh'], g['y'], g['x'], g['pl'])
+        if cfg.R > 0 and pmc:
+            from ..ops import pallas_mc as PM
+            py = PM.mc_frame_pallas(inp['refY'], inp['mc_recs_y'],
+                                    inp['mc_cnt_y'], lutY, H, W,
+                                    64, 128, interpret)
+            pu = PM.mc_frame_pallas(inp['refU'], inp['mc_recs_c'],
+                                    inp['mc_cnt_c'], lutC, Hc, Wc,
+                                    32, 128, interpret)
+            pv = PM.mc_frame_pallas(inp['refV'], inp['mc_recs_c'],
+                                    inp['mc_cnt_c'], lutC, Hc, Wc,
+                                    32, 128, interpret)
+            y = JK.clip255(py + ry)
+            u = JK.clip255(pu + rc[0])
+            v = JK.clip255(pv + rc[1])
+        elif cfg.R > 0:
+            mvargs = (inp['mv0x'], inp['mv0y'], inp['mv1x'],
+                      inp['mv1y'], inp['slot0'], inp['slot1'],
+                      inp['use_bi'])
+            py = JK.mc_frame(inp['refY'], *mvargs, lutY, JK.PAD_Y, 2, 4,
+                             H, W, -2, cfg.has_bi)
+            pu = JK.mc_frame(inp['refU'], *mvargs, lutC, JK.PAD_C, 3, 2,
+                             Hc, Wc, -1, cfg.has_bi)
+            pv = JK.mc_frame(inp['refV'], *mvargs, lutC, JK.PAD_C, 3, 2,
+                             Hc, Wc, -1, cfg.has_bi)
+            y = JK.clip255(py + ry)
+            u = JK.clip255(pu + rc[0])
+            v = JK.clip255(pv + rc[1])
+        else:
+            y = jnp.zeros((H, W), jnp.int32)
+            u = jnp.zeros((Hc, Wc), jnp.int32)
+            v = jnp.zeros((Hc, Wc), jnp.int32)
+        if cfg.n_intra_y:
+            if pit_y:
+                from ..ops import pallas_intra as PI
+                y = PI.intra_scan_pallas(
+                    y[None], ry[None], inp['it_recs_y'],
+                    inp['it_cnt_y'], PI.SIZES_Y, interpret=interpret)[0]
+            else:
+                P = _pad_for_scan(y)[None]
+                Rp = _pad_for_scan(ry)[None]
+                P = JK.intra_wavefront(P, Rp, inp['waves_y'])
+                y = P[0, JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]
+        if cfg.n_intra_c:
+            if pit_c:
+                from ..ops import pallas_intra as PI
+                uv = PI.intra_scan_pallas(
+                    jnp.stack([u, v]), rc, inp['it_recs_c'],
+                    inp['it_cnt_c'], PI.SIZES_C, interpret=interpret)
+                u, v = uv[0], uv[1]
+            else:
+                P = jnp.stack([_pad_for_scan(u), _pad_for_scan(v)])
+                Rp = jnp.stack([_pad_for_scan(rc[0]),
+                                _pad_for_scan(rc[1])])
+                P = JK.intra_wavefront(P, Rp, inp['waves_c'])
+                u = P[0, JK.PADI:JK.PADI + Hc, JK.PADI:JK.PADI + Wc]
+                v = P[1, JK.PADI:JK.PADI + Hc, JK.PADI:JK.PADI + Wc]
+        zero = np.int32(0)
+        zmask = np.zeros((1, 1), bool)
+        return _filters_body(
+            H, W, cfg.deblocking, cfg.clpf, y, u, v,
+            inp.get('dd', {}), inp.get('beta', zero),
+            inp.get('tc', zero), inp.get('tcC', zero),
+            inp.get('m8y', zmask), inp.get('m8u', zmask),
+            inp.get('m8v', zmask))
+
+    return jax.jit(f)
+
+
+def _fused_frame(cfg: FrameConfig, inp):
+    """Dispatch the whole frame as one device program (see use_fused).
+    Only the keys the traced program reads are passed, so unused
+    side-channel arrays are never copied to the device."""
+    pmc = cfg.R > 0 and cfg.mc_my > 0 and 'mc_recs_y' in inp
+    pit_y = bool(cfg.n_intra_y) and 'it_recs_y' in inp
+    pit_c = bool(cfg.n_intra_c) and 'it_recs_c' in inp
+    interpret = jax.default_backend() != 'tpu'
+    keys = [f'gy{s}' for s, _ in cfg.groups_y] \
+        + [f'gc{s}' for s, _ in cfg.groups_c]
+    used = {}
+    if cfg.R > 0:
+        used['refY'] = inp['refY']
+        used['refU'] = inp['refU']
+        used['refV'] = inp['refV']
+        if pmc:
+            keys += ['mc_recs_y', 'mc_cnt_y', 'mc_recs_c', 'mc_cnt_c']
+        else:
+            keys += ['mv0x', 'mv0y', 'mv1x', 'mv1y', 'slot0', 'slot1',
+                     'use_bi']
+    if cfg.n_intra_y:
+        if pit_y:
+            keys += ['it_recs_y', 'it_cnt_y']
+        else:
+            used['waves_y'] = JK.schedule_wavefront(inp['tuy'])
+    if cfg.n_intra_c:
+        if pit_c:
+            keys += ['it_recs_c', 'it_cnt_c']
+        else:
+            used['waves_c'] = JK.schedule_wavefront(inp['tuc'])
+    keys += [k for k in ('dd', 'beta', 'tc', 'tcC', 'm8y', 'm8u', 'm8v')
+             if k in inp]
+    used.update({k: inp[k] for k in keys})
+    return _jit_fused(cfg, pmc, pit_y, pit_c, interpret)(used)
+
+
+def _run_frame(cfg: FrameConfig, inp):
+    return _fused_frame(cfg, inp) if use_fused() \
+        else _staged_frame(cfg, inp)
+
+
 def reconstruct_frame_jax(decoder, fs: FrameSyntax, refs, interp_frame,
                           W, H, seq_bipred, deblocking):
     cfg, inp = build_frame_inputs(fs, refs, interp_frame, W, H,
                                   decoder.seq, deblocking)
-    y, u, v = _staged_frame(cfg, inp)
+    y, u, v = _run_frame(cfg, inp)
     return np.asarray(y), np.asarray(u), np.asarray(v)

@@ -219,46 +219,41 @@ def reconstruct_frame(fs: FrameSyntax, refs: List[RefFrame], interp_frame,
 
 
 def apply_clpf(fs: FrameSyntax, y, u, v, width, height):
-    """CLPF application (common/common_frame.c:485-557)."""
+    """CLPF application, fully vectorized
+    (common/common_frame.c:485-557): dense whole-plane filtering +
+    per-8x8 select masks. Filtering is SB-local (neighbour reads clamp
+    at the SB boundary), so computing every SB from the pre-filter
+    plane matches the reference's SB-by-SB in-place loop exactly."""
     if not fs.clpf_frame_enable:
         return
     dd = fs.deblock_data
-    nsb_h, nsb_v = width // 64, height // 64
-    for k in range(nsb_v):
-        for l in range(nsb_h):
-            cand = False
-            for m in range(8):
-                for n in range(8):
-                    gy, gx = (k * 64 + m * 8) // 4, (l * 64 + n * 8) // 4
-                    if dd.mode[gy, gx] != MODE_BIPRED and (
-                            dd.cbp_y[gy, gx] or dd.cbp_u[gy, gx] or dd.cbp_v[gy, gx]):
-                        cand = True
-            if not cand:
-                continue
-            if fs.clpf_all:
-                on = True
-            else:
-                on = fs.clpf_bits[k, l] == 1
-            if not on:
-                continue
-            ytmp = y[k*64:(k+1)*64, l*64:(l+1)*64].copy()
-            utmp = u[k*32:(k+1)*32, l*32:(l+1)*32].copy()
-            vtmp = v[k*32:(k+1)*32, l*32:(l+1)*32].copy()
-            for m in range(8):
-                for n in range(8):
-                    xpos, ypos = l * 64 + n * 8, k * 64 + m * 8
-                    gy, gx = ypos // 4, xpos // 4
-                    if dd.mode[gy, gx] == MODE_BIPRED:
-                        continue
-                    if dd.cbp_y[gy, gx]:
-                        ytmp[m*8:(m+1)*8, n*8:(n+1)*8] = K.clpf_block(
-                            y, xpos, ypos, 8, 64, width, height)
-                    if dd.cbp_u[gy, gx]:
-                        utmp[m*4:(m+1)*4, n*4:(n+1)*4] = K.clpf_block(
-                            u, xpos // 2, ypos // 2, 4, 32, width // 2, height // 2)
-                    if dd.cbp_v[gy, gx]:
-                        vtmp[m*4:(m+1)*4, n*4:(n+1)*4] = K.clpf_block(
-                            v, xpos // 2, ypos // 2, 4, 32, width // 2, height // 2)
-            y[k*64:(k+1)*64, l*64:(l+1)*64] = ytmp
-            u[k*32:(k+1)*32, l*32:(l+1)*32] = utmp
-            v[k*32:(k+1)*32, l*32:(l+1)*32] = vtmp
+    SBW, SBH = width // 64, height // 64
+    if SBH == 0 or SBW == 0:
+        return
+    h8, w8 = SBH * 8, SBW * 8
+
+    def cell8(a):
+        return np.asarray(a)[::2, ::2][:h8, :w8]
+
+    notbi = cell8(dd.mode) != MODE_BIPRED
+    cy8 = (cell8(dd.cbp_y) > 0) & notbi
+    cu8 = (cell8(dd.cbp_u) > 0) & notbi
+    cv8 = (cell8(dd.cbp_v) > 0) & notbi
+    cand_sb = (cy8 | cu8 | cv8).reshape(SBH, 8, SBW, 8).any(axis=(1, 3))
+    if fs.clpf_all:
+        on_sb = cand_sb
+    else:
+        on_sb = cand_sb & (np.asarray(fs.clpf_bits)[:SBH, :SBW] == 1)
+    if not on_sb.any():
+        return
+    on8 = np.repeat(np.repeat(on_sb, 8, 0), 8, 1)
+
+    def apply(plane, mask8, b, sbs, ww, hh):
+        Fp = K.clpf_plane_dense(plane, sbs, ww, hh)
+        m = np.repeat(np.repeat(mask8 & on8, b, 0), b, 1)
+        reg = plane[:h8 * b, :w8 * b]
+        plane[:h8 * b, :w8 * b] = np.where(m, Fp[:h8 * b, :w8 * b], reg)
+
+    apply(y, cy8, 8, 64, width, height)
+    apply(u, cu8, 4, 32, width // 2, height // 2)
+    apply(v, cv8, 4, 32, width // 2, height // 2)

@@ -671,70 +671,63 @@ class Encoder:
         return self.mvcand[ref_idx]
 
     def _clpf_frame(self, w: BitWriter):
-        """clpf_frame with encoder decision callback
+        """clpf_frame with encoder decision callback, fully vectorized
         (common/common_frame.c:485-557, clpf_decision
-        enc/encode_frame.c:50-61, detect_clpf enc/encode_block.c:3036)."""
+        enc/encode_frame.c:50-61, detect_clpf enc/encode_block.c:3036):
+        dense whole-plane filtering + per-8x8 masked SSD reductions;
+        only the raster bit emission stays serial."""
         dd = self.deblock_data
         H, W = self.height, self.width
-        for k in range(H // MAX_BLOCK_SIZE):
-            for l in range(W // MAX_BLOCK_SIZE):
-                cand = False
-                for m in range(8):
-                    for n in range(8):
-                        gy = (k * 64 + m * 8) // 4
-                        gx = (l * 64 + n * 8) // 4
-                        if dd.mode[gy, gx] != MODE_BIPRED and (
-                                dd.cbp_y[gy, gx] or dd.cbp_u[gy, gx]
-                                or dd.cbp_v[gy, gx]):
-                            cand = True
-                if not cand:
-                    continue
-                sum0, sum1 = self._detect_clpf_sb(k, l)
-                bit = 1 if sum1 < sum0 else 0
-                w.putbits(1, bit)
-                if not bit:
-                    continue
-                ytmp = self.rec_y[k*64:(k+1)*64, l*64:(l+1)*64].copy()
-                utmp = self.rec_u[k*32:(k+1)*32, l*32:(l+1)*32].copy()
-                vtmp = self.rec_v[k*32:(k+1)*32, l*32:(l+1)*32].copy()
-                for m in range(8):
-                    for n in range(8):
-                        xpos, ypos = l * 64 + n * 8, k * 64 + m * 8
-                        gy, gx = ypos // 4, xpos // 4
-                        if dd.mode[gy, gx] == MODE_BIPRED:
-                            continue
-                        if dd.cbp_y[gy, gx]:
-                            ytmp[m*8:(m+1)*8, n*8:(n+1)*8] = K.clpf_block(
-                                self.rec_y, xpos, ypos, 8, 64, W, H)
-                        if dd.cbp_u[gy, gx]:
-                            utmp[m*4:(m+1)*4, n*4:(n+1)*4] = K.clpf_block(
-                                self.rec_u, xpos//2, ypos//2, 4, 32,
-                                W//2, H//2)
-                        if dd.cbp_v[gy, gx]:
-                            vtmp[m*4:(m+1)*4, n*4:(n+1)*4] = K.clpf_block(
-                                self.rec_v, xpos//2, ypos//2, 4, 32,
-                                W//2, H//2)
-                self.rec_y[k*64:(k+1)*64, l*64:(l+1)*64] = ytmp
-                self.rec_u[k*32:(k+1)*32, l*32:(l+1)*32] = utmp
-                self.rec_v[k*32:(k+1)*32, l*32:(l+1)*32] = vtmp
+        SBH, SBW = H // MAX_BLOCK_SIZE, W // MAX_BLOCK_SIZE
+        if SBH == 0 or SBW == 0:
+            return
+        h8, w8 = SBH * 8, SBW * 8
 
-    def _detect_clpf_sb(self, k, l):
-        """Luma SSD with/without CLPF over candidate 8x8 blocks."""
-        dd = self.deblock_data
-        H, W = self.height, self.width
-        sum0 = sum1 = 0
-        for m in range(8):
-            for n in range(8):
-                xpos, ypos = l * 64 + n * 8, k * 64 + m * 8
-                gy, gx = ypos // 4, xpos // 4
-                if dd.cbp_y[gy, gx] and dd.mode[gy, gx] != MODE_BIPRED:
-                    X = self.rec_y[ypos:ypos+8, xpos:xpos+8].astype(np.int64)
-                    O = self.org_y[ypos:ypos+8, xpos:xpos+8].astype(np.int64)
-                    F = K.clpf_block(self.rec_y, xpos, ypos, 8, 64, W, H
-                                     ).astype(np.int64)
-                    sum0 += int(((O - X) ** 2).sum())
-                    sum1 += int(((O - F) ** 2).sum())
-        return sum0, sum1
+        def cell8(a):
+            return np.asarray(a)[::2, ::2][:h8, :w8]
+
+        notbi = cell8(dd.mode) != MODE_BIPRED
+        cy8 = (cell8(dd.cbp_y) > 0) & notbi
+        cu8 = (cell8(dd.cbp_u) > 0) & notbi
+        cv8 = (cell8(dd.cbp_v) > 0) & notbi
+        cand8 = cy8 | cu8 | cv8
+        cand_sb = cand8.reshape(SBH, 8, SBW, 8).any(axis=(1, 3))
+        if not cand_sb.any():
+            return
+
+        Fy = K.clpf_plane_dense(self.rec_y, MAX_BLOCK_SIZE, W, H)
+        X = self.rec_y[:h8 * 8, :w8 * 8].astype(np.int64)
+        O = self.org_y[:h8 * 8, :w8 * 8].astype(np.int64)
+        F = Fy[:h8 * 8, :w8 * 8].astype(np.int64)
+
+        def blk_sums(E):
+            return E.reshape(h8, 8, w8, 8).sum(axis=(1, 3))
+
+        e0 = blk_sums((O - X) ** 2) * cy8
+        e1 = blk_sums((O - F) ** 2) * cy8
+        sum0 = e0.reshape(SBH, 8, SBW, 8).sum(axis=(1, 3))
+        sum1 = e1.reshape(SBH, 8, SBW, 8).sum(axis=(1, 3))
+        bit_sb = sum1 < sum0
+        for k in range(SBH):
+            for l in range(SBW):
+                if cand_sb[k, l]:
+                    w.putbits(1, 1 if bit_sb[k, l] else 0)
+
+        on_sb = cand_sb & bit_sb
+        if not on_sb.any():
+            return
+        on8 = np.repeat(np.repeat(on_sb, 8, 0), 8, 1)
+
+        def apply(plane, mask8, b, sbs, ww, hh):
+            Fp = K.clpf_plane_dense(plane, sbs, ww, hh)
+            m = np.repeat(np.repeat(mask8 & on8, b, 0), b, 1)
+            reg = plane[:h8 * b, :w8 * b]
+            plane[:h8 * b, :w8 * b] = np.where(m, Fp[:h8 * b, :w8 * b],
+                                               reg)
+
+        apply(self.rec_y, cy8, 8, MAX_BLOCK_SIZE, W, H)
+        apply(self.rec_u, cu8, 4, MAX_BLOCK_SIZE // 2, W // 2, H // 2)
+        apply(self.rec_v, cv8, 4, MAX_BLOCK_SIZE // 2, W // 2, H // 2)
 
     # --- sequence level ---
 

@@ -486,11 +486,18 @@ static void read_coeff(Parser *ps, int size, int type, int16_t *dst,
                 code = get_vlc(2, br) - 1;
         }
         int index = find_index(code, maxrun, chroma_flag);
-        if (index == -1) break;
+        /* corrupt-stream guard: code == -1 (vlc2 prefix 0) reaches the
+           chroma branch of find_index, which maps it to -2, and C's %
+           would then drive pos negative */
+        if (index < 0) break;
         int maxrun2 = maxrun > 4 ? maxrun : 4;
         int level_flag = index / (maxrun2 + 1);
         int run = index % (maxrun2 + 1);
         pos += run;
+        /* corrupt-stream guard: the table allows run > maxrun when
+           maxrun < 4, which would write past scoeff[N] (valid encoders
+           never emit it) */
+        if (pos >= N) break;
         int sign;
         if (level_flag) {
             int tmp = get_vlc(0, br);

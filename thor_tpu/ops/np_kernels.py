@@ -466,6 +466,30 @@ def clpf_block(src: np.ndarray, x0: int, y0: int, size: int, dstride: int,
     return (X + delta).astype(np.uint8)
 
 
+def clpf_plane_dense(P: np.ndarray, sbs: int, width: int,
+                     height: int) -> np.ndarray:
+    """Whole-plane CLPF (vectorized clpf_block,
+    common/common_block.c:180-197): every pixel filtered with
+    neighbour clamping at its sbs-aligned block boundary. The caller
+    selects which blocks actually take the filtered value."""
+    X = P.astype(np.int32)
+    ys = np.arange(height)[:, None]
+    xs = np.arange(width)[None, :]
+    up = np.vstack([P[0:1], P[:-1]]).astype(np.int32)
+    down = np.vstack([P[1:], P[-1:]]).astype(np.int32)
+    left = np.hstack([P[:, 0:1], P[:, :-1]]).astype(np.int32)
+    right = np.hstack([P[:, 1:], P[:, -1:]]).astype(np.int32)
+    A = np.where(ys % sbs == 0, X, up)
+    B = np.where(xs % sbs == 0, X, left)
+    C = np.where((xs % sbs == sbs - 1) | (xs == width - 1), X, right)
+    D = np.where((ys % sbs == sbs - 1) | (ys == height - 1), X, down)
+    delta = (((A > X).astype(np.int32) + (B > X) + (C > X)
+              + (D > X)) > 2).astype(np.int32) \
+        - (((A < X).astype(np.int32) + (B < X) + (C < X)
+            + (D < X)) > 2).astype(np.int32)
+    return (X + delta).astype(np.uint8)
+
+
 def pad_plane(plane: np.ndarray, pad: int) -> np.ndarray:
     """Edge-replication padding (common/common_frame.c:405-462)."""
     return np.pad(plane, pad, mode="edge")

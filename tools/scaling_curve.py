@@ -37,8 +37,11 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    # default: the 33-frame RA16 stream - two dyadic sub-GOPs, so the
+    # dependency levels really contain multi-frame batches (the
+    # 10-frame CIF goldens are below one sub-GOP and decode serially)
     bit = sys.argv[1] if len(sys.argv) > 1 else str(
-        ROOT / "testdata" / "RA16_high_efficiency.bit")
+        ROOT / "testdata" / "RA16_long.bit")
     sizes = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8]
 
     import jax
