@@ -17,6 +17,7 @@ import numpy as np
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "thor_entropy.c"
+_SRC2 = _HERE / "thor_interp.c"
 _SO = _HERE / "_thor_entropy.so"
 
 i32p = ctypes.POINTER(ctypes.c_int32)
@@ -49,13 +50,45 @@ def lib():
     global _lib
     if _lib is None:
         if (not _SO.exists()
-                or _SO.stat().st_mtime < _SRC.stat().st_mtime):
+                or _SO.stat().st_mtime < _SRC.stat().st_mtime
+                or _SO.stat().st_mtime < _SRC2.stat().st_mtime):
             subprocess.run(
                 ["gcc", "-O2", "-shared", "-fPIC", "-o", str(_SO),
-                 str(_SRC)], check=True)
+                 str(_SRC), str(_SRC2), "-lm"], check=True)
         _lib = ctypes.CDLL(str(_SO))
         _lib.thor_parse_frame.restype = ctypes.c_int
+        _lib.thor_interpolate_frames.restype = None
     return _lib
+
+
+def interpolate_frames_native(ref0, ref1, ratio: int, pos: int):
+    """Native twin of ops/temporal_interp.interpolate_frames: takes
+    RefFrame-like objects with padded planes (96/48), returns unpadded
+    (y, u, v)."""
+    PAD_Y, PAD_C = 96, 48
+    h = ref0.y.shape[0] - 2 * PAD_Y
+    w = ref0.y.shape[1] - 2 * PAD_Y
+
+    def u8(a):
+        a = np.ascontiguousarray(a, np.uint8)
+        return a, a.ctypes.data_as(u8p)
+
+    y0, y0p = u8(ref0.y)
+    u0, u0p = u8(ref0.u)
+    v0, v0p = u8(ref0.v)
+    y1, y1p = u8(ref1.y)
+    u1, u1p = u8(ref1.u)
+    v1, v1p = u8(ref1.v)
+    oy = np.empty((h, w), np.uint8)
+    ou = np.empty((h // 2, w // 2), np.uint8)
+    ov = np.empty((h // 2, w // 2), np.uint8)
+    lib().thor_interpolate_frames(
+        y0p, u0p, v0p, y1p, u1p, v1p,
+        ctypes.c_int(w), ctypes.c_int(h), ctypes.c_int(ratio),
+        ctypes.c_int(pos),
+        oy.ctypes.data_as(u8p), ou.ctypes.data_as(u8p),
+        ov.ctypes.data_as(u8p))
+    return oy, ou, ov
 
 
 def _i32(a):

@@ -364,12 +364,23 @@ def _mot_comp_avg(xstart, ystart, r0, s0pad, r1, s1pad, out, opad, mv0, mv1,
         dst[:] = ((a + b + 1) // 2).astype(np.uint8)
 
 
-def interpolate_frames(ref0, ref1, ratio: int, pos: int):
+def interpolate_frames(ref0, ref1, ratio: int, pos: int,
+                       native: bool = True):
     """common/temporal_interp.c:972-1053.
 
     ref0/ref1: RefFrame-like with padded .y/.u/.v (pads 96/48).
     Returns unpadded (y, u, v) planes of the synthesized frame.
+
+    Dispatches to the native C twin when available (~100x; the Python
+    below remains the parity oracle - tests/test_kernels.py compares
+    them on random frames, the RA golden streams end-to-end).
     """
+    if native:
+        try:
+            from ..native import interpolate_frames_native
+            return interpolate_frames_native(ref0, ref1, ratio, pos)
+        except Exception:
+            pass
     PAD_Y, PAD_C = 96, 48
     h, w = ref0.y.shape[0] - 2 * PAD_Y, ref0.y.shape[1] - 2 * PAD_Y
     import math
