@@ -44,6 +44,33 @@ GOLDEN = [
 ]
 
 
+@pytest.mark.slow
+def test_sharded_decode_gop_parallel_levels():
+    """The 33-frame RA16 stream has two dyadic sub-GOPs; the exact
+    used-reference dependency analysis (Thor's ref LISTS always chain
+    to the previous decoded frame, but blocks rarely select it) must
+    produce multi-frame levels (up to the 8 odd B-frames of a sub-GOP)
+    and stay bit-exact against the committed reference decode hash."""
+    import hashlib
+    import os
+    from thor_tpu.parallel.stream import ShardedDecoder
+
+    td = os.path.join(os.path.dirname(__file__), "..", "testdata")
+    devs = jax.devices()
+    if len(devs) < 8:
+        devs = jax.devices("cpu")
+    sd = ShardedDecoder(gop=4, tile=2, devices=devs[:8])
+    frames = sd.decode_stream(os.path.join(td, "RA16_long.bit"))
+    assert max(sd.last_level_sizes) >= 8, sd.last_level_sizes
+    h = hashlib.sha256()
+    for (y, u, v) in frames:
+        h.update(y.tobytes())
+        h.update(u.tobytes())
+        h.update(v.tobytes())
+    want = open(os.path.join(td, "RA16_long_dec.sha256")).read().split()[0]
+    assert h.hexdigest() == want
+
+
 @pytest.mark.parametrize("name,_", GOLDEN)
 def test_sharded_decode_real_stream(name, _):
     """VERDICT r1 item 5: decode a real golden bitstream through the

@@ -21,7 +21,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..bitstream.reader import BitReader, iter_frames
-from ..codec.constants import MAX_REF_FRAMES, MAX_REORDER_BUFFER
+from ..codec.constants import (MAX_REF_FRAMES, MAX_REORDER_BUFFER,
+                               MODE_INTRA)
 from ..dec.parse import FrameParser, SequenceHeader
 from ..dec.reconstruct_np import RefFrame
 from ..dec.reconstruct_jax import FrameConfig, build_frame_inputs
@@ -180,17 +181,43 @@ class ShardedDecoder:
         done = [False] * len(parsed)
         recon = [None] * len(parsed)
 
-        def ready(i):
+        def used_slots(fs):
+            """Reference slots any block actually reads. Thor's RA
+            reference lists always include the previously decoded frame
+            even when no block selects it, which would falsely
+            serialize the whole stream; the exact per-block ref indices
+            are already parsed, so the dependency graph uses them."""
+            used = set()
+            for b in fs.blocks:
+                if b.mode == MODE_INTRA:
+                    continue
+                # every non-intra mode reads ref_idx0 (dir -1, from an
+                # intra-derived merge candidate, reconstructs as
+                # unidirectional L0 - reconstruct_np's else branch);
+                # ref_idx1 only under bidirectional dir == 2
+                used.add(b.ref_idx0)
+                if getattr(b, 'dir', 0) == 2:
+                    used.add(b.ref_idx1)
+            return used
+
+        def deps(i):
             ent = parsed[i]
             fs = ent['fs']
-            srcs = []
-            for r in fs.ref_array:
-                if r >= 0:
-                    srcs.append(ent['refs_window'][r])
-            if ent['interp_pair']:
-                srcs.extend(ent['interp_pair'])
+            if 'deps_cache' not in ent:
+                srcs = []
+                for slot in used_slots(fs):
+                    if slot < len(fs.ref_array) and fs.ref_array[slot] >= 0:
+                        srcs.append(ent['refs_window'][fs.ref_array[slot]])
+                if ent['interp_pair']:
+                    # resynthesis needs the pair whether or not a block
+                    # selects the interpolated slot
+                    srcs.extend(ent['interp_pair'])
+                ent['deps_cache'] = srcs
+            return ent['deps_cache']
+
+        def ready(i):
             return all(getattr(s, 'producer', None) is None
-                       or produced[s.producer] for s in srcs)
+                       or produced[s.producer] for s in deps(i))
 
         order = list(range(len(parsed)))
         self._levels = []
@@ -198,6 +225,12 @@ class ShardedDecoder:
             level = [i for i in order
                      if not done[i] and ready(i)]
             assert level, "dependency cycle in reference structure"
+            import os as _os
+            # debug knob: bound the batch width (1 = no batching) to
+            # bisect level-batching issues from dependency issues
+            _chunk = int(_os.environ.get("THOR_LEVEL_CHUNK", "0") or 0)
+            if _chunk:
+                level = level[:_chunk]
             self._levels.append(len(level))
             cfg_inps = []
             for i in level:
@@ -206,6 +239,15 @@ class ShardedDecoder:
 
                 def resolve(r):
                     if getattr(r, 'producer', None) is not None:
+                        if not produced[r.producer]:
+                            # listed but unused by any block (see
+                            # used_slots): its pixels are never read,
+                            # a zero frame keeps the batch shape
+                            z = np.zeros((seq.height, seq.width),
+                                         np.uint8)
+                            zc = np.zeros((seq.height // 2,
+                                           seq.width // 2), np.uint8)
+                            return RefFrame(z, zc, zc, r.frame_num)
                         y, u, v = recon[r.producer]
                         return RefFrame(y, u, v, r.frame_num)
                     return r

@@ -52,6 +52,7 @@ def main():
     results = {}
     base_frames = None
     base_fps = None
+    levels = None
     for g in sizes:
         dec = ShardedDecoder(gop=g, tile=1)
         frames = dec.decode_stream(bit)      # warm-up + compile
@@ -65,12 +66,21 @@ def main():
             for a, b in zip(base_frames, frames):
                 assert all(np.array_equal(x, y) for x, y in zip(a, b)), \
                     f"mesh gop={g} output differs from gop={sizes[0]}"
+        levels = dec.last_level_sizes
         fps = len(frames) / dt
-        eff = fps / (base_fps * g / sizes[0])
-        results[g] = (fps, eff)
+        # dependency-limited ceiling: with g gop-devices a level of L
+        # frames takes ceil(L/g) steps
+        ceil_steps = sum(-(-L // g) for L in levels)
+        dep_speedup = sum(levels) / ceil_steps
+        results[g] = (fps, fps / base_fps, dep_speedup)
         print(f"gop={g}: {fps:6.2f} frames/s   "
-              f"efficiency vs linear: {eff * 100:5.1f}%   "
-              f"levels: {dec.last_level_sizes}")
+              f"speedup vs gop=1: {fps / base_fps:4.2f}x   "
+              f"dependency-limited ceiling: {dep_speedup:4.2f}x")
+    print(f"levels: {levels}")
+    print("note: the virtual CPU mesh shares the same physical cores, "
+          "so measured speedup saturates once one mesh size already "
+          "uses every core; the ceiling column is what independent "
+          "devices could reach given the stream's reference structure.")
     return results
 
 
