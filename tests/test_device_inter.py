@@ -36,3 +36,20 @@ def test_device_inter_roundtrip(tmp_path):
     for i in (1, 2):
         psnr_y = snr_yuv(frames[i], recons[i])[0]
         assert psnr_y > 28.0, f"frame {i}: {psnr_y:.2f} dB"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(CFG), reason="reference configs absent")
+def test_native_decide_parity(tmp_path, monkeypatch):
+    """The C decision walk (native/thor_decide.c) must produce streams
+    byte-identical to the Python walk it replaces."""
+    from thor_tpu.enc.encoder import encode_file
+
+    yuv = os.path.join(TD, "test_cif.yuv")
+    outs = []
+    for flag in ("0", "1"):
+        monkeypatch.setenv("THOR_NATIVE_DECIDE", flag)
+        out = str(tmp_path / f"dec_{flag}.bit")
+        encode_file(CFG, yuv, out, 352, 288, 3, device_encode=1)
+        outs.append(open(out, "rb").read())
+    assert outs[0] == outs[1]

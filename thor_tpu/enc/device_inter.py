@@ -325,10 +325,53 @@ class _Leaf:
         self.k = k
 
 
+def _decide_frame_native(enc, meas, intra_modes, intra_costs, lam,
+                         lam_me):
+    """C twin of the decision walk (native/thor_decide.c, ~100x);
+    bit-parity with the Python walk below is covered by
+    tests/test_device_inter.py."""
+    from ..native import decide_frame_native
+    W, H = enc.width, enc.height
+    p = enc.params
+    per_size = []
+    for s in SIZES:
+        m = meas[s]
+        per_size.append({
+            'mvx': m['mvx'], 'mvy': m['mvy'], 'slot': m['slot'],
+            'ssd_coded': m['ssd_coded'], 'ssd_pred': m['ssd_pred'],
+            'bits': m['bits'],
+            'cbp_y': m['cbp_y'], 'cbp_u': m['cbp_u'],
+            'cbp_v': m['cbp_v'],
+            'intra_cost': intra_costs[s], 'intra_mode': intra_modes[s],
+        })
+    recs = decide_frame_native(
+        W, H, enc.num_ref, int(p.enable_bipred), int(enc.interp_ref),
+        int(bool(p.use_block_contexts)), float(lam), float(lam_me),
+        per_size)
+    leaves = []
+    for r in recs:
+        lf = _Leaf(r.ypos, r.xpos, r.size, r.mode,
+                   mv=(r.mvx, r.mvy), ref=r.ref, skip_idx=r.skip_idx,
+                   intra_mode=r.intra_mode, idx=r.idx,
+                   use_cbp=bool(r.use_cbp), k=r.k)
+        leaves.append(lf)
+    return leaves, set()
+
+
 def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
     """Bottom-up quadtree decision walk in coding order (mirrors
     process_block's recursion, enc/encode_block.c:2787-3033) over the
-    device cost maps. Returns (leaves in coding order, split set)."""
+    device cost maps. Returns (leaves in coding order, split set).
+
+    Dispatches to the C twin unless THOR_NATIVE_DECIDE=0; the Python
+    below is the parity oracle."""
+    import os
+    if os.environ.get("THOR_NATIVE_DECIDE", "1") != "0":
+        try:
+            return _decide_frame_native(enc, meas, intra_modes,
+                                        intra_costs, lam, lam_me)
+        except Exception:
+            pass
     W, H = enc.width, enc.height
     dd = enc.deblock_data
     p = enc.params

@@ -18,6 +18,7 @@ import numpy as np
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "thor_entropy.c"
 _SRC2 = _HERE / "thor_interp.c"
+_SRC3 = _HERE / "thor_decide.c"
 _SO = _HERE / "_thor_entropy.so"
 
 i32p = ctypes.POINTER(ctypes.c_int32)
@@ -49,16 +50,75 @@ _lib = None
 def lib():
     global _lib
     if _lib is None:
+        srcs = [_SRC, _SRC2, _SRC3]
         if (not _SO.exists()
-                or _SO.stat().st_mtime < _SRC.stat().st_mtime
-                or _SO.stat().st_mtime < _SRC2.stat().st_mtime):
+                or any(_SO.stat().st_mtime < s.stat().st_mtime
+                       for s in srcs)):
             subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", "-o", str(_SO),
-                 str(_SRC), str(_SRC2), "-lm"], check=True)
+                ["gcc", "-O2", "-shared", "-fPIC", "-o", str(_SO)]
+                + [str(s) for s in srcs] + ["-lm"], check=True)
         _lib = ctypes.CDLL(str(_SO))
         _lib.thor_parse_frame.restype = ctypes.c_int
         _lib.thor_interpolate_frames.restype = None
+        _lib.thor_decide_frame.restype = ctypes.c_int
     return _lib
+
+
+class SizeMeasC(ctypes.Structure):
+    _fields_ = [("mvx", i32p), ("mvy", i32p), ("slot", i32p),
+                ("ssd_coded", i64p), ("ssd_pred", i64p), ("bits", i32p),
+                ("cbp_y", u8p), ("cbp_u", u8p), ("cbp_v", u8p),
+                ("intra_cost", i64p), ("intra_mode", i32p),
+                ("K", ctypes.c_int32), ("N", ctypes.c_int32),
+                ("HB", ctypes.c_int32), ("WB", ctypes.c_int32)]
+
+
+class LeafC(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in
+                ("ypos", "xpos", "size", "mode", "mvx", "mvy", "ref",
+                 "skip_idx", "intra_mode", "use_cbp", "k", "idx")]
+
+
+def decide_frame_native(W, H, num_ref, enable_bipred, interp_ref,
+                        use_block_contexts, lam, lam_me, per_size):
+    """Run the C decision walk (thor_decide.c).
+
+    per_size: list of 4 dicts (sizes 8,16,32,64) with contiguous
+    arrays mvx/mvy/slot (int32 [K,N]), ssd_coded/ssd_pred (int64),
+    bits (int32), cbp_y/u/v (uint8), intra_cost (int64 [HB,WB]),
+    intra_mode (int32). Returns a list of LeafC-like records.
+    """
+    meas = (SizeMeasC * 4)()
+    keep = []
+    for i, d in enumerate(per_size):
+        def arr(key, dt):
+            a = np.ascontiguousarray(d[key], dt)
+            keep.append(a)
+            return a
+        m = meas[i]
+        m.mvx = _i32(arr("mvx", np.int32))
+        m.mvy = _i32(arr("mvy", np.int32))
+        m.slot = _i32(arr("slot", np.int32))
+        m.ssd_coded = arr("ssd_coded", np.int64).ctypes.data_as(i64p)
+        m.ssd_pred = arr("ssd_pred", np.int64).ctypes.data_as(i64p)
+        m.bits = _i32(arr("bits", np.int32))
+        m.cbp_y = arr("cbp_y", np.uint8).ctypes.data_as(u8p)
+        m.cbp_u = arr("cbp_u", np.uint8).ctypes.data_as(u8p)
+        m.cbp_v = arr("cbp_v", np.uint8).ctypes.data_as(u8p)
+        m.intra_cost = arr("intra_cost", np.int64).ctypes.data_as(i64p)
+        m.intra_mode = _i32(arr("intra_mode", np.int32))
+        m.K = int(np.asarray(d["mvx"]).shape[0])
+        m.N = int(np.asarray(d["mvx"]).shape[1])
+        m.HB = int(np.asarray(d["intra_cost"]).shape[0])
+        m.WB = int(np.asarray(d["intra_cost"]).shape[1])
+    maxl = (W // 8) * (H // 8 + 8)
+    leaves = (LeafC * maxl)()
+    n = lib().thor_decide_frame(
+        ctypes.c_int(W), ctypes.c_int(H), ctypes.c_int(num_ref),
+        ctypes.c_int(enable_bipred), ctypes.c_int(interp_ref),
+        ctypes.c_int(use_block_contexts), ctypes.c_double(lam),
+        ctypes.c_double(lam_me), meas, leaves)
+    return leaves[:n]
 
 
 def interpolate_frames_native(ref0, ref1, ratio: int, pos: int):

@@ -1,0 +1,582 @@
+/* Device-encoder decision walk - native twin of
+ * enc/device_inter.py:_decide_frame (behavioral reference:
+ * enc/encode_block.c:2787-3033's bottom-up recursion).
+ *
+ * The walk is inherently sequential (skip/merge candidates and block
+ * contexts derive from the evolving side-info map), but each step is
+ * tiny integer work; in Python it dominated the device-encode host
+ * time at 1080p. All RD costs are exact mirrors of the Python
+ * implementation (which remains the parity oracle).
+ *
+ * Self-contained: the small side-info helpers are duplicated from
+ * thor_entropy.c (they are file-static there).
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define MIN_PB_SIZE 4
+#define MIN_BLOCK_SIZE 8
+#define MAX_BLOCK_SIZE 64
+
+#define MODE_SKIP 0
+#define MODE_INTRA 1
+#define MODE_INTER 2
+#define MODE_BIPRED 3
+#define MODE_MERGE 4
+
+/* ------------------------------------------------------------------ */
+/* Measured maps for one block size (arrays [K, N] / [HB, WB])         */
+
+typedef struct {
+    const int32_t *mvx, *mvy, *slot;       /* [K, N] */
+    const int64_t *ssd_coded, *ssd_pred;   /* [K, N] */
+    const int32_t *bits;                   /* [K, N] */
+    const uint8_t *cbp_y, *cbp_u, *cbp_v;  /* [K, N] */
+    const int64_t *intra_cost;             /* [HB, WB] */
+    const int32_t *intra_mode;             /* [HB, WB] */
+    int32_t K, N, HB, WB;
+} SizeMeas;
+
+typedef struct {
+    int32_t ypos, xpos, size, mode;
+    int32_t mvx, mvy, ref;
+    int32_t skip_idx, intra_mode, use_cbp, k, idx;
+} LeafOut;
+
+/* ------------------------------------------------------------------ */
+/* Side-info map + derivations (twin of thor_entropy.c's statics)      */
+
+typedef struct {
+    int32_t mv0x, mv0y, mv1x, mv1y;
+    int32_t ref_idx0, ref_idx1, bipred_flag;
+} InterPredC;
+
+static const InterPredC ZERO_PRED = {0, 0, 0, 0, 0, 0, 0};
+
+typedef struct {
+    int32_t *mode, *size, *cbp_y, *cbp_u, *cbp_v;
+    int32_t *mv0x, *mv0y, *mv1x, *mv1y;
+    int32_t *ref_idx0, *ref_idx1, *bipred_flag;
+    int gh, gw;
+} DDm;
+
+static InterPredC dd_at(const DDm *dd, int i)
+{
+    InterPredC p = {dd->mv0x[i], dd->mv0y[i], dd->mv1x[i], dd->mv1y[i],
+                    dd->ref_idx0[i], dd->ref_idx1[i], dd->bipred_flag[i]};
+    return p;
+}
+
+static int get_upright_available(int ypos, int xpos, int size, int width)
+{
+    int avail = (ypos > 0) && (xpos + size < width);
+    if (size == 32 && (ypos % 64) == 32) avail = 0;
+    if (size == 16 && ((ypos % 32) == 16
+                       || ((ypos % 64) == 32 && (xpos % 32) == 16)))
+        avail = 0;
+    if (size == 8 && ((ypos % 16) == 8
+                      || ((ypos % 32) == 16 && (xpos % 16) == 8)
+                      || ((ypos % 64) == 32 && (xpos % 32) == 24)))
+        avail = 0;
+    return avail;
+}
+
+static int get_downleft_available(int ypos, int xpos, int size, int height)
+{
+    int avail = (xpos > 0) && (ypos + size < height);
+    if (size == 64) avail = 0;
+    if (size == 32 && (ypos % 64) == 32) avail = 0;
+    if (size == 16 && ((ypos % 64) == 48
+                       || ((ypos % 64) == 16 && (xpos % 32) == 16)))
+        avail = 0;
+    if (size == 8 && ((ypos % 64) == 56
+                      || ((ypos % 16) == 8 && (xpos % 16) == 8)
+                      || ((ypos % 64) == 24 && (xpos % 32) == 16)))
+        avail = 0;
+    return avail;
+}
+
+static void get_mv_pred(int ypos, int xpos, int width, int height, int size,
+                        const DDm *dd, int32_t *mvpx, int32_t *mvpy)
+{
+    int bs = size / MIN_PB_SIZE;
+    int stride = width / MIN_PB_SIZE;
+    int bi = (ypos / MIN_PB_SIZE) * stride + (xpos / MIN_PB_SIZE);
+
+    int up0 = bi - stride;
+    int up1 = bi - stride + (bs - 1) / 2;
+    int up2 = bi - stride + bs - 1;
+    int left0 = bi - 1;
+    int left1 = bi + stride * ((bs - 1) / 2) - 1;
+    int left2 = bi + stride * (bs - 1) - 1;
+    int downleft = bi + stride * bs - 1;
+    int upright = bi - stride + bs;
+    int upleft = bi - stride - 1;
+
+    int U = ypos > 0;
+    int L = xpos > 0;
+    int UR = get_upright_available(ypos, xpos, size, width);
+    int DL = get_downleft_available(ypos, xpos, size, height);
+
+    InterPredC a, b, c;
+    if (!U && !UR && !L && !DL) {
+        a = b = c = ZERO_PRED;
+    } else if (U && !UR && !L && !DL) {
+        a = dd_at(dd, up0); b = dd_at(dd, up1); c = dd_at(dd, up2);
+    } else if (U && UR && !L && !DL) {
+        a = dd_at(dd, up0); b = dd_at(dd, up2); c = dd_at(dd, upright);
+    } else if (!U && !UR && L && !DL) {
+        a = dd_at(dd, left0); b = dd_at(dd, left1); c = dd_at(dd, left2);
+    } else if (U && !UR && L && !DL) {
+        a = dd_at(dd, upleft); b = dd_at(dd, up2); c = dd_at(dd, left2);
+    } else if (U && UR && L && !DL) {
+        a = dd_at(dd, up0); b = dd_at(dd, upright); c = dd_at(dd, left2);
+    } else if (!U && !UR && L && DL) {
+        a = dd_at(dd, left0); b = dd_at(dd, left2); c = dd_at(dd, downleft);
+    } else if (U && !UR && L && DL) {
+        a = dd_at(dd, up2); b = dd_at(dd, left0); c = dd_at(dd, downleft);
+    } else {
+        a = dd_at(dd, up0); b = dd_at(dd, upright); c = dd_at(dd, left0);
+    }
+
+#define MEDIAN3(p, q, r) \
+    ((p) < (q) ? ((q) < (r) ? (q) : ((p) < (r) ? (r) : (p))) \
+               : ((p) < (r) ? (p) : ((q) < (r) ? (r) : (q))))
+    *mvpx = MEDIAN3(a.mv0x, b.mv0x, c.mv0x);
+    *mvpy = MEDIAN3(a.mv0y, b.mv0y, c.mv0y);
+#undef MEDIAN3
+}
+
+static int get_mv_skip_merge(int ypos, int xpos, int width, int height,
+                             int size, const DDm *dd, InterPredC *out)
+{
+    int bs = size / MIN_PB_SIZE;
+    int stride = width / MIN_PB_SIZE;
+    int bi = (ypos / MIN_PB_SIZE) * stride + (xpos / MIN_PB_SIZE);
+
+    int up0 = bi - stride;
+    int up2 = bi - stride + bs - 1;
+    int left0 = bi - 1;
+    int left2 = bi + stride * (bs - 1) - 1;
+    int upright = bi - stride + bs;
+
+    int up_av = ypos > 0;
+    int left_av = xpos > 0;
+    int upright_av = get_upright_available(ypos, xpos, size, width);
+
+    if (ypos + size > height) left2 = left0;
+    if (xpos + size > width) up2 = up0;
+
+    InterPredC c0 = left_av ? dd_at(dd, left2) : ZERO_PRED;
+    InterPredC c1 = upright_av ? dd_at(dd, upright)
+                   : (up_av ? dd_at(dd, up2) : ZERO_PRED);
+
+    out[0] = c0;
+    int n = 1;
+    int dup = (c1.mv0x == c0.mv0x && c1.mv0y == c0.mv0y
+               && c1.ref_idx0 == c0.ref_idx0
+               && c1.mv1x == c0.mv1x && c1.mv1y == c0.mv1y
+               && c1.ref_idx1 == c0.ref_idx1
+               && (c1.bipred_flag == c0.bipred_flag
+                   || c1.bipred_flag == (int32_t)-1));
+    if (!dup)
+        out[n++] = c1;
+    return n;
+}
+
+typedef struct { int split, cbp, index; } BlockCtx;
+
+static BlockCtx find_block_contexts(int ypos, int xpos, int height,
+                                    int width, int size, const DDm *dd,
+                                    int enable)
+{
+    BlockCtx bc = {-1, -1, -1};
+    if (ypos >= MIN_BLOCK_SIZE && xpos >= MIN_BLOCK_SIZE
+        && ypos + size < height && xpos + size < width && enable
+        && size <= 64) {
+        int stride = width / MIN_PB_SIZE;
+        int by = ypos / MIN_PB_SIZE, bx = xpos / MIN_PB_SIZE;
+        int up = (by - 1) * stride + bx;
+        int left = by * stride + bx - 1;
+        int split = (dd->size[up] < size) + (dd->size[left] < size);
+        int cbp1 = (dd->cbp_y[up] > 0) + (dd->cbp_y[left] > 0);
+        int cbp2 = ((dd->cbp_y[up] > 0 || dd->cbp_u[up] > 0
+                     || dd->cbp_v[up] > 0)
+                    + (dd->cbp_y[left] > 0 || dd->cbp_u[left] > 0
+                       || dd->cbp_v[left] > 0));
+        bc.split = split;
+        bc.cbp = cbp1;
+        bc.index = 3 * split + cbp2;
+    }
+    return bc;
+}
+
+static void dd_store(DDm *dd, int ypos, int xpos, int size, int mode,
+                     int cbp_y, int cbp_u, int cbp_v,
+                     int32_t mv0x, int32_t mv0y, int32_t mv1x,
+                     int32_t mv1y, int ref0, int ref1, int dirf)
+{
+    /* full square blocks only (the decide walk never stores partial) */
+    int by = ypos / MIN_PB_SIZE, bx = xpos / MIN_PB_SIZE;
+    int n = size / MIN_PB_SIZE;
+    for (int m = 0; m < n; m++) {
+        int f = (by + m) * dd->gw + bx;
+        for (int q = 0; q < n; q++, f++) {
+            dd->cbp_y[f] = cbp_y;
+            dd->cbp_u[f] = cbp_u;
+            dd->cbp_v[f] = cbp_v;
+            dd->size[f] = size;
+            dd->mode[f] = mode;
+            dd->mv0x[f] = mv0x;
+            dd->mv0y[f] = mv0y;
+            dd->ref_idx0[f] = ref0;
+            dd->mv1x[f] = mv1x;
+            dd->mv1y[f] = mv1y;
+            dd->ref_idx1[f] = ref1;
+            dd->bipred_flag[f] = dirf;
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* Bit-cost mirrors (bitstream/writer.py:quote_vlc etc.)               */
+
+static int log2i(int v)
+{
+    int r = 0;
+    while (v >>= 1) r++;
+    return r;
+}
+
+static int quote_vlc0(int cn)
+{
+    if (cn < 6) return 1 + cn;
+    return 6 + 1 + 2 * log2i(cn - 6 + 1);
+}
+
+static int quote_vlc10(int cn)
+{
+    return 1 + 2 * log2i(cn + 1);
+}
+
+static int quote_mv_bits(int dy, int dx)
+{
+    int b = 0;
+    b += quote_vlc10(2 * abs(dx) - (dx < 0 ? 1 : 0));
+    b += quote_vlc10(2 * abs(dy) - (dy < 0 ? 1 : 0));
+    return b;
+}
+
+/* enc/write_bits.c:293 */
+static const int CBP_TABLE[8] = {1, 0, 5, 2, 6, 3, 7, 4};
+
+static int quote_cbp(int cy, int cu, int cv, int ctx_cbp0, int merge)
+{
+    int code = CBP_TABLE[cy + 2 * cu + 4 * cv];
+    if (merge) {
+        if (code == 1) code = 7;
+        else if (code > 1) code -= 1;
+    } else if (ctx_cbp0 && code < 2) {
+        code = 1 - code;
+    }
+    return quote_vlc0(code);
+}
+
+static int skip_idx_bits(int nvec, int idx)
+{
+    if (nvec >= 4) return 2;
+    if (nvec == 3) return idx == 0 ? 1 : 2;
+    if (nvec == 2) return 1;
+    return 0;
+}
+
+/* enc/write_bits.c:268-380 counting (device_inter._quote_super_mode) */
+static int quote_super_mode(int size, BlockCtx bc, int num_ref,
+                            int enable_bipred, int interp_ref, int mode,
+                            int ref_idx0)
+{
+    int bipred_possible = num_ref > 1 && enable_bipred;
+    int split_possible = size > MIN_BLOCK_SIZE;
+    int maxbit = 2 + num_ref + (split_possible ? 1 : 0)
+        + (bipred_possible ? 1 : 0);
+    int code;
+    if (interp_ref) {
+        if (mode == MODE_SKIP) code = 0;
+        else if (mode == MODE_MERGE) code = 2;
+        else if (mode == MODE_INTRA) code = 4;
+        else if (mode == MODE_INTER && ref_idx0 > 0) code = 4 + ref_idx0;
+        else code = 4 + num_ref;
+        if (!bipred_possible && code > 3) code -= 1;
+        if (!split_possible && code > 1) code -= 1;
+        if ((bc.index == 2 || bc.index > 3) && size > MIN_BLOCK_SIZE) {
+            if (code < 3) code = (code + 2) % 3;
+        }
+    } else {
+        if (mode == MODE_SKIP) code = 0;
+        else if (mode == MODE_INTER && ref_idx0 == 0) code = 2;
+        else if (mode == MODE_MERGE) code = 3;
+        else if (mode == MODE_INTRA) code = 5;
+        else code = 5 + ref_idx0;
+        if (!bipred_possible && code > 4) code -= 1;
+        if (!split_possible && code > 1) code -= 1;
+        if ((bc.index == 2 || bc.index > 3) && size > MIN_BLOCK_SIZE) {
+            if (code < 4) code = (code + 3) % 4;
+        }
+    }
+    return code == maxbit ? maxbit : code + 1;
+}
+
+/* ------------------------------------------------------------------ */
+/* The walk                                                            */
+
+typedef struct {
+    int W, H, num_ref, enable_bipred, interp_ref, use_block_contexts;
+    double lam, lam_me;
+    SizeMeas meas[4];      /* sizes 8, 16, 32, 64 */
+    DDm dd;
+    LeafOut *leaves;
+    int n_leaves;
+} Walk;
+
+static int size_slot(int s)
+{
+    return s == 8 ? 0 : (s == 16 ? 1 : (s == 32 ? 2 : 3));
+}
+
+/* best leaf choice at (s, y0, x0); returns cost and fills *lf */
+static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
+{
+    const SizeMeas *m = &w->meas[size_slot(s)];
+    int HBW = w->W / s;
+    int idx = (y0 / s) * HBW + (x0 / s);
+    int K = m->K, N = m->N;
+    BlockCtx bc = find_block_contexts(y0, x0, w->H, w->W, s, &w->dd,
+                                      w->use_block_contexts);
+    int ctx_cbp0 = bc.cbp == 0;
+
+    InterPredC cands[2];
+    int ncand = get_mv_skip_merge(y0, x0, w->W, w->H, s, &w->dd, cands);
+    int32_t mvpx, mvpy;
+    get_mv_pred(y0, x0, w->W, w->H, s, &w->dd, &mvpx, &mvpy);
+
+    int64_t best_cost = -1;
+    LeafOut best;
+    memset(&best, 0, sizeof(best));
+
+    int sm_skip = quote_super_mode(s, bc, w->num_ref, w->enable_bipred,
+                                   w->interp_ref, MODE_SKIP, 0);
+    int sm_merge = quote_super_mode(s, bc, w->num_ref, w->enable_bipred,
+                                    w->interp_ref, MODE_MERGE, 0);
+
+    for (int ci = 0; ci < ncand; ci++) {
+        InterPredC *c = &cands[ci];
+        if (c->bipred_flag != 0)
+            continue;
+        int k = -1;
+        for (int kk = 0; kk < K; kk++) {
+            if (m->mvx[kk * N + idx] == c->mv0x
+                && m->mvy[kk * N + idx] == c->mv0y
+                && m->slot[kk * N + idx] == c->ref_idx0) {
+                k = kk;
+                break;
+            }
+        }
+        if (k < 0)
+            continue;
+        {
+            int bits = sm_skip + skip_idx_bits(ncand, ci);
+            int64_t cost = m->ssd_pred[k * N + idx]
+                + (int64_t)(w->lam * bits + 0.5);
+            if (best_cost < 0 || cost < best_cost) {
+                best_cost = cost;
+                memset(&best, 0, sizeof(best));
+                best.ypos = y0; best.xpos = x0; best.size = s;
+                best.mode = MODE_SKIP;
+                best.mvx = c->mv0x; best.mvy = c->mv0y;
+                best.ref = c->ref_idx0;
+                best.skip_idx = ci; best.idx = idx; best.k = k;
+            }
+        }
+        int cy = m->cbp_y[k * N + idx];
+        int cu = m->cbp_u[k * N + idx];
+        int cv = m->cbp_v[k * N + idx];
+        if (cy || cu || cv) {
+            int bits = sm_merge + skip_idx_bits(ncand, ci)
+                + quote_cbp(cy, cu, cv, ctx_cbp0, 1)
+                + m->bits[k * N + idx];
+            int64_t cost = m->ssd_coded[k * N + idx]
+                + (int64_t)(w->lam * bits + 0.5);
+            if (cost < best_cost) {
+                best_cost = cost;
+                memset(&best, 0, sizeof(best));
+                best.ypos = y0; best.xpos = x0; best.size = s;
+                best.mode = MODE_MERGE;
+                best.mvx = c->mv0x; best.mvy = c->mv0y;
+                best.ref = c->ref_idx0;
+                best.skip_idx = ci; best.idx = idx; best.use_cbp = 1;
+                best.k = k;
+            }
+        }
+    }
+
+    /* INTER at the ME MV (k = 0), coded and zero-residual variants */
+    {
+        int mvx = m->mvx[idx], mvy = m->mvy[idx];
+        int ref = m->slot[idx];
+        int mvbits = quote_mv_bits(mvy - mvpy, mvx - mvpx);
+        int smbits = quote_super_mode(s, bc, w->num_ref, w->enable_bipred,
+                                      w->interp_ref, MODE_INTER, ref);
+        int cy = m->cbp_y[idx], cu = m->cbp_u[idx], cv = m->cbp_v[idx];
+        int cbp0_bits = quote_cbp(0, 0, 0, ctx_cbp0, 0);
+        int64_t cost_zero = m->ssd_pred[idx]
+            + (int64_t)(w->lam * (smbits + mvbits + cbp0_bits) + 0.5);
+        int64_t cost_coded = m->ssd_coded[idx]
+            + (int64_t)(w->lam * (smbits + mvbits + m->bits[idx]
+                                  + quote_cbp(cy, cu, cv, ctx_cbp0, 0))
+                        + 0.5);
+        int64_t cost;
+        int use_cbp;
+        if ((cy || cu || cv) && cost_coded < cost_zero) {
+            cost = cost_coded; use_cbp = 1;
+        } else {
+            cost = cost_zero; use_cbp = 0;
+        }
+        if (best_cost < 0 || cost < best_cost) {
+            best_cost = cost;
+            memset(&best, 0, sizeof(best));
+            best.ypos = y0; best.xpos = x0; best.size = s;
+            best.mode = MODE_INTER;
+            best.mvx = mvx; best.mvy = mvy; best.ref = ref;
+            best.idx = idx; best.use_cbp = use_cbp; best.k = 0;
+        }
+    }
+
+    /* INTRA */
+    {
+        int smbits = quote_super_mode(s, bc, w->num_ref, w->enable_bipred,
+                                      w->interp_ref, MODE_INTRA, 0);
+        int64_t ic = m->intra_cost[(y0 / s) * m->WB + (x0 / s)]
+            + (int64_t)(w->lam * smbits + 0.5);
+        if (ic < best_cost) {
+            best_cost = ic;
+            memset(&best, 0, sizeof(best));
+            best.ypos = y0; best.xpos = x0; best.size = s;
+            best.mode = MODE_INTRA;
+            best.intra_mode = m->intra_mode[(y0 / s) * m->WB + (x0 / s)];
+            best.idx = idx;
+        }
+    }
+
+    *lf = best;
+    return best_cost;
+}
+
+static void store_leaf(Walk *w, const LeafOut *lf)
+{
+    const SizeMeas *m = &w->meas[size_slot(lf->size)];
+    int N = m->N;
+    int cy = 0, cu = 0, cv = 0;
+    if (lf->use_cbp) {
+        cy = m->cbp_y[lf->k * N + lf->idx];
+        cu = m->cbp_u[lf->k * N + lf->idx];
+        cv = m->cbp_v[lf->k * N + lf->idx];
+    }
+    if (lf->mode == MODE_SKIP || lf->mode == MODE_MERGE) {
+        /* skip/merge candidates with bipred_flag != 0 were filtered,
+           so mv1/ref1 carry the candidate's (uni L0) values */
+        dd_store(&w->dd, lf->ypos, lf->xpos, lf->size, lf->mode,
+                 cy, cu, cv, lf->mvx, lf->mvy, 0, 0, lf->ref, 0, 0);
+    } else if (lf->mode == MODE_INTER) {
+        dd_store(&w->dd, lf->ypos, lf->xpos, lf->size, MODE_INTER,
+                 cy, cu, cv, lf->mvx, lf->mvy, 0, 0, lf->ref, 0, 0);
+    } else {
+        dd_store(&w->dd, lf->ypos, lf->xpos, lf->size, MODE_INTRA,
+                 1, 1, 1, 0, 0, 0, 0, 0, 0, -1);
+    }
+}
+
+static int64_t rec(Walk *w, int s, int y0, int x0)
+{
+    if (y0 >= w->H || x0 >= w->W)
+        return 0;
+    int full = (y0 + s <= w->H) && (x0 + s <= w->W);
+    if (!full) {
+        int h = s / 2;
+        int64_t cost = 0;
+        cost += rec(w, h, y0, x0);
+        cost += rec(w, h, y0 + h, x0);
+        cost += rec(w, h, y0, x0 + h);
+        cost += rec(w, h, y0 + h, x0 + h);
+        return cost;
+    }
+    if (s > MIN_BLOCK_SIZE) {
+        int mark = w->n_leaves;
+        int h = s / 2;
+        int64_t cost_small = 0;
+        cost_small += rec(w, h, y0, x0);
+        cost_small += rec(w, h, y0 + h, x0);
+        cost_small += rec(w, h, y0, x0 + h);
+        cost_small += rec(w, h, y0 + h, x0 + h);
+        cost_small += (int64_t)(w->lam * 2 + 0.5);
+        LeafOut lf;
+        int64_t cost_here = leaf_candidates(w, s, y0, x0, &lf);
+        if (cost_here <= cost_small) {
+            w->n_leaves = mark;      /* rewind the children's leaves */
+            store_leaf(w, &lf);
+            w->leaves[w->n_leaves++] = lf;
+            return cost_here;
+        }
+        return cost_small;
+    }
+    LeafOut lf;
+    int64_t cost = leaf_candidates(w, s, y0, x0, &lf);
+    store_leaf(w, &lf);
+    w->leaves[w->n_leaves++] = lf;
+    return cost;
+}
+
+/* Entry point: meas arrays ordered (size 8, 16, 32, 64).
+ * leaves_out must hold (W/8)*(H/8 + 8) entries. Returns leaf count. */
+int thor_decide_frame(
+    int W, int H, int num_ref, int enable_bipred, int interp_ref,
+    int use_block_contexts, double lam, double lam_me,
+    const SizeMeas *meas4, LeafOut *leaves_out)
+{
+    Walk w;
+    memset(&w, 0, sizeof(w));
+    w.W = W; w.H = H;
+    w.num_ref = num_ref;
+    w.enable_bipred = enable_bipred;
+    w.interp_ref = interp_ref;
+    w.use_block_contexts = use_block_contexts;
+    w.lam = lam; w.lam_me = lam_me;
+    for (int i = 0; i < 4; i++)
+        w.meas[i] = meas4[i];
+    int gh = H / MIN_PB_SIZE, gw = W / MIN_PB_SIZE;
+    int32_t *cells = (int32_t *)calloc((size_t)gh * gw * 12,
+                                       sizeof(int32_t));
+    w.dd.mode = cells;
+    w.dd.size = cells + (size_t)gh * gw;
+    w.dd.cbp_y = cells + (size_t)gh * gw * 2;
+    w.dd.cbp_u = cells + (size_t)gh * gw * 3;
+    w.dd.cbp_v = cells + (size_t)gh * gw * 4;
+    w.dd.mv0x = cells + (size_t)gh * gw * 5;
+    w.dd.mv0y = cells + (size_t)gh * gw * 6;
+    w.dd.mv1x = cells + (size_t)gh * gw * 7;
+    w.dd.mv1y = cells + (size_t)gh * gw * 8;
+    w.dd.ref_idx0 = cells + (size_t)gh * gw * 9;
+    w.dd.ref_idx1 = cells + (size_t)gh * gw * 10;
+    w.dd.bipred_flag = cells + (size_t)gh * gw * 11;
+    w.dd.gh = gh; w.dd.gw = gw;
+    w.leaves = leaves_out;
+    w.n_leaves = 0;
+
+    for (int k = 0; k < H; k += MAX_BLOCK_SIZE)
+        for (int l = 0; l < W; l += MAX_BLOCK_SIZE)
+            rec(&w, MAX_BLOCK_SIZE, k, l);
+
+    free(cells);
+    return w.n_leaves;
+}
