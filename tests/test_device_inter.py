@@ -40,16 +40,19 @@ def test_device_inter_roundtrip(tmp_path):
 
 @pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(CFG), reason="reference configs absent")
-def test_native_decide_parity(tmp_path, monkeypatch):
-    """The C decision walk (native/thor_decide.c) must produce streams
-    byte-identical to the Python walk it replaces."""
+def test_native_decide_emit_parity(tmp_path, monkeypatch):
+    """The C decision walk and C syntax emitter (native/thor_decide.c)
+    must produce streams byte-identical to the Python paths they
+    replace - all four combinations agree."""
     from thor_tpu.enc.encoder import encode_file
 
     yuv = os.path.join(TD, "test_cif.yuv")
     outs = []
-    for flag in ("0", "1"):
-        monkeypatch.setenv("THOR_NATIVE_DECIDE", flag)
-        out = str(tmp_path / f"dec_{flag}.bit")
-        encode_file(CFG, yuv, out, 352, 288, 3, device_encode=1)
-        outs.append(open(out, "rb").read())
-    assert outs[0] == outs[1]
+    for decide in ("0", "1"):
+        for emit in ("0", "1"):
+            monkeypatch.setenv("THOR_NATIVE_DECIDE", decide)
+            monkeypatch.setenv("THOR_NATIVE_EMIT", emit)
+            out = str(tmp_path / f"d{decide}e{emit}.bit")
+            encode_file(CFG, yuv, out, 352, 288, 3, device_encode=1)
+            outs.append(open(out, "rb").read())
+    assert all(o == outs[0] for o in outs[1:])

@@ -33,6 +33,7 @@ syntax.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -544,6 +545,58 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
     return leaves, splits
 
 
+def _emit_native(enc, w, leaves, meas, coeff_host, intra_q):
+    """Emit the frame's SB payload through the C writers
+    (native/thor_decide.c emission half): re-derives skip candidates,
+    contexts and MV predictors from its own side-info walk, writes the
+    exact syntax into the BitWriter, and fills enc.deblock_data like
+    store_deblock_data. Byte-parity with the Python emit loop below is
+    covered by tests/test_device_inter.py."""
+    from ..native import emit_frame_native
+    p = enc.params
+    banks = []
+    for s in SIZES:
+        ch = coeff_host.get(s)
+        banks.append({
+            'qy': ch['qy'] if ch else np.zeros((0, s, s), np.int16),
+            'qu': ch['qu'] if ch else np.zeros((0, s // 2, s // 2),
+                                              np.int16),
+            'qv': ch['qv'] if ch else np.zeros((0, s // 2, s // 2),
+                                               np.int16),
+            'ydim': s, 'cdim': s // 2})
+    zi = np.zeros((0, 16, 16), np.int16)
+    banks.append({'qy': intra_q.get('qy', zi),
+                  'qu': intra_q.get('qu', zi),
+                  'qv': intra_q.get('qv', zi),
+                  'ydim': 16, 'cdim': 16})
+    n = len(leaves)
+    bank_row = np.zeros(n, np.int32)
+    cbp3 = np.zeros(n, np.int32)
+    for i, lf in enumerate(leaves):
+        if lf.mode == MODE_INTRA:
+            j = intra_q['index'][(lf.ypos, lf.xpos)]
+            bank_row[i] = j
+            cbp3[i] = (int(intra_q['cy'][j])
+                       | (int(intra_q['cu'][j]) << 1)
+                       | (int(intra_q['cv'][j]) << 2))
+        elif lf.use_cbp:
+            bank_row[i] = coeff_host[lf.size]['index'][(lf.ypos,
+                                                        lf.xpos)]
+            m = meas[lf.size]
+            cbp3[i] = (int(m['cbp_y'][lf.k, lf.idx])
+                       | (int(m['cbp_u'][lf.k, lf.idx]) << 1)
+                       | (int(m['cbp_v'][lf.k, lf.idx]) << 2))
+    params = {'W': enc.width, 'H': enc.height, 'num_ref': enc.num_ref,
+              'enable_bipred': int(p.enable_bipred),
+              'interp_ref': int(enc.interp_ref),
+              'use_block_contexts': int(bool(p.use_block_contexts)),
+              'num_intra_modes': enc.num_intra_modes,
+              'max_num_tb_part': 2 if p.enable_tb_split == 1 else 1,
+              'max_num_pb_part': 4 if p.enable_pb_split else 1}
+    emit_frame_native(w, params, leaves, bank_row, cbp3, banks,
+                      enc.deblock_data)
+
+
 # ---------------------------------------------------------------------------
 # Frame driver
 # ---------------------------------------------------------------------------
@@ -767,6 +820,15 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
                           for i, lf in enumerate(lst)}}
 
     enc.deblock_data.reset()
+
+    if os.environ.get("THOR_NATIVE_EMIT", "1") != "0":
+        try:
+            with _t.stage('emit'):
+                _emit_native(enc, w, leaves, meas, coeff_host, intra_q)
+            return y, u, v
+        except Exception:
+            enc.deblock_data.reset()
+
     by_pos = {(lf.ypos, lf.xpos, lf.size): lf for lf in leaves}
 
     def emit(s, y0, x0):

@@ -61,7 +61,79 @@ def lib():
         _lib.thor_parse_frame.restype = ctypes.c_int
         _lib.thor_interpolate_frames.restype = None
         _lib.thor_decide_frame.restype = ctypes.c_int
+        _lib.thor_emit_frame.restype = ctypes.c_long
     return _lib
+
+
+class BankC(ctypes.Structure):
+    _fields_ = [("qy", i16p), ("qu", i16p), ("qv", i16p),
+                ("ydim", ctypes.c_int32), ("cdim", ctypes.c_int32)]
+
+
+class EmitParamsC(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in
+                ("W", "H", "num_ref", "enable_bipred", "interp_ref",
+                 "use_block_contexts", "num_intra_modes",
+                 "max_num_tb_part", "max_num_pb_part")] \
+        + [("bitbuf", ctypes.c_uint32), ("bitrest", ctypes.c_int32)]
+
+
+class DDOutC(ctypes.Structure):
+    _fields_ = [(n, i32p) for n in
+                ("mode", "size", "tb_split", "pb_part", "cbp_y",
+                 "cbp_u", "cbp_v", "mv0x", "mv0y", "mv1x", "mv1y",
+                 "ref_idx0", "ref_idx1", "bipred_flag")]
+
+
+def emit_frame_native(w, enc_params, leaves, bank_row, cbp3, banks, dd):
+    """Emit the decided frame's SB payload through the C writers
+    (thor_decide.c's emission half) directly into the BitWriter `w`,
+    and fill the DeblockData `dd` like store_deblock_data would.
+
+    leaves: list of LeafC-compatible records; banks: 5 dicts (sizes
+    8/16/32/64 coded + intra) with qy/qu/qv int16 arrays + dims."""
+    n = len(leaves)
+    leaf_arr = (LeafC * max(n, 1))()
+    for i, l in enumerate(leaves):
+        leaf_arr[i] = LeafC(
+            l.ypos, l.xpos, l.size, l.mode, l.mv[0], l.mv[1], l.ref,
+            l.skip_idx, l.intra_mode, 1 if l.use_cbp else 0, l.k, l.idx)
+    keep = []
+
+    def i16(a, shape):
+        a = np.ascontiguousarray(a, np.int16)
+        if a.size == 0:
+            a = np.zeros(shape, np.int16)
+        keep.append(a)
+        return a.ctypes.data_as(i16p)
+
+    bank_arr = (BankC * 5)()
+    for i, b in enumerate(banks):
+        ydim, cdim = b["ydim"], b["cdim"]
+        bank_arr[i] = BankC(
+            i16(b["qy"], (1, ydim, ydim)), i16(b["qu"], (1, cdim, cdim)),
+            i16(b["qv"], (1, cdim, cdim)), ydim, cdim)
+
+    p = EmitParamsC(*[int(enc_params[k]) for k in
+                      ("W", "H", "num_ref", "enable_bipred",
+                       "interp_ref", "use_block_contexts",
+                       "num_intra_modes", "max_num_tb_part",
+                       "max_num_pb_part")],
+                    ctypes.c_uint32(w.bitbuf).value, w.bitrest)
+    # the dd arrays are int32 C-contiguous numpy planes; fill in place
+    ddo = DDOutC(*[getattr(dd, name).ctypes.data_as(i32p)
+                   for name, _ in DDOutC._fields_])
+    cap = enc_params["W"] * enc_params["H"] + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    br = np.ascontiguousarray(np.asarray(bank_row, np.int32))
+    c3 = np.ascontiguousarray(np.asarray(cbp3, np.int32))
+    nb = lib().thor_emit_frame(
+        ctypes.byref(p), leaf_arr, ctypes.c_int(n), _i32(br), _i32(c3),
+        bank_arr, ctypes.byref(ddo), out.ctypes.data_as(u8p),
+        ctypes.c_long(cap))
+    w.buf += out[:nb].tobytes()
+    w.bitbuf = int(p.bitbuf)
+    w.bitrest = int(p.bitrest)
 
 
 class SizeMeasC(ctypes.Structure):

@@ -580,3 +580,525 @@ int thor_decide_frame(
     free(cells);
     return w.n_leaves;
 }
+
+/* ================================================================== */
+/* Syntax emission for the device P-frame path - native twin of
+ * device_inter.py's emit loop + enc/syntax.py's writers
+ * (enc/write_bits.c:268-650, enc/putbits.c, enc/putvlc.c:34-131).
+ * Restricted toolset: PART_NONE, tb_param 0, no bipred, no delta-QP.  */
+
+static const int zigzag16[16] = {
+    0, 1, 5, 6, 2, 4, 7, 12, 3, 8, 11, 13, 9, 10, 14, 15};
+static const int zigzag64[64] = {
+    0, 1, 5, 6, 14, 15, 27, 28, 2, 4, 7, 13, 16, 26, 29, 42,
+    3, 8, 12, 17, 25, 30, 41, 43, 9, 11, 18, 24, 31, 40, 44, 53,
+    10, 19, 23, 32, 39, 45, 52, 54, 20, 22, 33, 38, 46, 51, 55, 60,
+    21, 34, 37, 47, 50, 56, 59, 61, 35, 36, 48, 49, 57, 58, 62, 63};
+static const int zigzag256[256] = {
+    0, 1, 5, 6, 14, 15, 27, 28, 44, 45, 65, 66, 90, 91, 119, 120,
+    2, 4, 7, 13, 16, 26, 29, 43, 46, 64, 67, 89, 92, 118, 121, 150,
+    3, 8, 12, 17, 25, 30, 42, 47, 63, 68, 88, 93, 117, 122, 149, 151,
+    9, 11, 18, 24, 31, 41, 48, 62, 69, 87, 94, 116, 123, 148, 152, 177,
+    10, 19, 23, 32, 40, 49, 61, 70, 86, 95, 115, 124, 147, 153, 176, 178,
+    20, 22, 33, 39, 50, 60, 71, 85, 96, 114, 125, 146, 154, 175, 179, 200,
+    21, 34, 38, 51, 59, 72, 84, 97, 113, 126, 145, 155, 174, 180, 199, 201,
+    35, 37, 52, 58, 73, 83, 98, 112, 127, 144, 156, 173, 181, 198, 202, 219,
+    36, 53, 57, 74, 82, 99, 111, 128, 143, 157, 172, 182, 197, 203, 218, 220,
+    54, 56, 75, 81, 100, 110, 129, 142, 158, 171, 183, 196, 204, 217, 221, 234,
+    55, 76, 80, 101, 109, 130, 141, 159, 170, 184, 195, 205, 216, 222, 233, 235,
+    77, 79, 102, 108, 131, 140, 160, 169, 185, 194, 206, 215, 223, 232, 236, 245,
+    78, 103, 107, 132, 139, 161, 168, 186, 193, 207, 214, 224, 231, 237, 244, 246,
+    104, 106, 133, 138, 162, 167, 187, 192, 208, 213, 225, 230, 238, 243, 247, 252,
+    105, 134, 137, 163, 166, 188, 191, 209, 212, 226, 229, 239, 242, 248, 251, 253,
+    135, 136, 164, 165, 189, 190, 210, 211, 227, 228, 240, 241, 249, 250, 254, 255};
+
+typedef struct {
+    uint8_t *buf;
+    size_t nbytes, cap;
+    uint32_t bitbuf;
+    int bitrest;
+} BW;
+
+static void bw_put(BW *w, int n, uint32_t val)
+{
+    if (n <= w->bitrest) {
+        w->bitbuf |= (uint32_t)((uint64_t)(val & ((n == 32 ? 0xFFFFFFFFu
+                     : ((1u << n) - 1)))) << (w->bitrest - n));
+        w->bitrest -= n;
+    } else {
+        int rest = n - w->bitrest;
+        w->bitbuf |= (val >> rest) & ((w->bitrest == 32 ? 0xFFFFFFFFu
+                     : ((1u << w->bitrest) - 1)));
+        w->buf[w->nbytes++] = (uint8_t)(w->bitbuf >> 24);
+        w->buf[w->nbytes++] = (uint8_t)(w->bitbuf >> 16);
+        w->buf[w->nbytes++] = (uint8_t)(w->bitbuf >> 8);
+        w->buf[w->nbytes++] = (uint8_t)(w->bitbuf);
+        w->bitbuf = (uint32_t)((uint64_t)(val & ((1u << rest) - 1))
+                               << (32 - rest));
+        w->bitrest = 32 - rest;
+    }
+}
+
+/* enc/putvlc.c:34-131 (tables used by the device path: 0, 2, 10) */
+static void put_vlc_c(int n, int cn, BW *w)
+{
+    int code, length;
+    if (n <= 5) {
+        if (cn < 6 * (1 << n)) {
+            int tmp = 1 << n;
+            code = tmp + (cn & (tmp - 1));
+            length = 1 + n + (cn >> n);
+        } else {
+            code = cn - 6 * (1 << n) + (1 << n);
+            length = (6 - n) + 1 + 2 * log2i(code);
+        }
+    } else if (n == 10) {
+        code = cn + 1;
+        length = 1 + 2 * log2i(code);
+    } else {
+        /* unreachable for the device toolset */
+        code = 0; length = 0;
+    }
+    bw_put(w, length, (uint32_t)code);
+}
+
+static void write_mv_c(BW *w, int mvx, int mvy, int mvpx, int mvpy)
+{
+    int d[2] = {mvx - mvpx, mvy - mvpy};
+    for (int i = 0; i < 2; i++) {
+        int a = d[i] < 0 ? -d[i] : d[i];
+        put_vlc_c(10, 2 * a - (d[i] < 0 ? 1 : 0), w);
+    }
+}
+
+/* enc/write_bits.c:71-108 */
+static int find_code(int run, int level, int maxrun, int chroma_flag,
+                     int eob)
+{
+    int maxrun2 = maxrun > 4 ? maxrun : 4;
+    int index = run + (level > 1 ? 1 : 0) * (maxrun2 + 1);
+    if (chroma_flag) {
+        if (eob) return 0;
+        if (index <= 4) return index + 1;
+        if (index <= maxrun2) return index + 3;
+        if (index == maxrun2 + 1) return 6;
+        if (index == maxrun2 + 2) return 7;
+        return index + 1;
+    }
+    if (eob) return 2;
+    if (index < 2) return index;
+    if (index <= 4) return index + 1;
+    if (index <= maxrun2) return index + 3;
+    if (index == maxrun2 + 1) return 6;
+    if (index == maxrun2 + 2) return 7;
+    return index + 1;
+}
+
+/* enc/write_bits.c:110-253; coeff: qsize x qsize at (ptr, stride) */
+static void write_coeff_c(BW *w, const int16_t *coeff, int stride,
+                          int size, int type)
+{
+    int qsize = size < 16 ? size : 16;
+    int N = qsize * qsize;
+    int chroma_flag = type & 1;
+    int intra_flag = (type >> 1) & 1;
+    int vlc_adaptive = (intra_flag && !chroma_flag) ? 1 : 0;
+    const int *zz = qsize == 4 ? zigzag16
+                   : (qsize == 8 ? zigzag64 : zigzag256);
+    int32_t scoeff[256];
+    memset(scoeff, 0, sizeof(int32_t) * N);
+    for (int i = 0; i < qsize; i++)
+        for (int j = 0; j < qsize; j++)
+            scoeff[zz[i * qsize + j]] = coeff[i * stride + j];
+
+    int pos = N - 1;
+    while (scoeff[pos] == 0 && pos > 0) pos--;
+    int last_pos = pos;
+
+    pos = 0;
+    if (chroma_flag) {
+        int a0 = scoeff[0] < 0 ? -scoeff[0] : scoeff[0];
+        if (last_pos == 0 && a0 == 1) {
+            bw_put(w, 1, 1);
+            bw_put(w, 1, scoeff[0] < 0 ? 1 : 0);
+            pos = N;
+        } else {
+            bw_put(w, 1, 0);
+        }
+    }
+
+    int level_mode = 1, level = 1;
+    while (pos <= last_pos) {
+        if (level_mode) {
+            while (pos <= last_pos && level > 0) {
+                int c = scoeff[pos];
+                level = c < 0 ? -c : c;
+                put_vlc_c(vlc_adaptive, level, w);
+                if (level > 0)
+                    bw_put(w, 1, c < 0 ? 1 : 0);
+                if (chroma_flag == 0)
+                    vlc_adaptive = level > 3 ? 1 : 0;
+                pos++;
+            }
+        }
+        int maxrun = N - pos - 1;
+        int run = 0, c = 0;
+        while (c == 0 && pos <= last_pos) {
+            c = scoeff[pos];
+            if (c == 0) {
+                run++;
+            } else {
+                level = c < 0 ? -c : c;
+                int sign = c < 0 ? 1 : 0;
+                int cn = find_code(run, level, maxrun, chroma_flag, 0);
+                if (chroma_flag && size <= 8) {
+                    put_vlc_c(10, cn, w);
+                } else {
+                    if (cn == 0) bw_put(w, 2, 2);
+                    else put_vlc_c(2, cn + 1, w);
+                }
+                if (level > 1)
+                    put_vlc_c(0, 2 * (level - 2) + sign, w);
+                else
+                    bw_put(w, 1, sign);
+                run = 0;
+            }
+            pos++;
+            level_mode = level > 1 ? 1 : 0;
+        }
+    }
+
+    if (pos < N && level_mode) {
+        int c = scoeff[pos];
+        level = c < 0 ? -c : c;
+        put_vlc_c(vlc_adaptive, level, w);
+        if (level > 0)
+            bw_put(w, 1, c < 0 ? 1 : 0);
+        pos++;
+    }
+    if (pos < N) {
+        int cn = find_code(0, 0, 0, chroma_flag, 1);
+        if (chroma_flag && size <= 8) {
+            put_vlc_c(0, cn, w);
+        } else {
+            if (cn == 0) bw_put(w, 2, 2);
+            else put_vlc_c(2, cn + 1, w);
+        }
+    }
+}
+
+/* enc/write_bits.c:268-380 (P-frame branch; split or final mode) */
+static void write_super_mode_c(BW *w, int size, BlockCtx bc, int num_ref,
+                               int enable_bipred, int interp_ref,
+                               int mode, int ref_idx0, int split_flag)
+{
+    if (split_flag) {
+        int code = 1;
+        if (bc.index == 2 || bc.index > 3)
+            code = (code + 3) % 4;
+        bw_put(w, code + 1, 1);
+        return;
+    }
+    int bipred_possible = num_ref > 1 && enable_bipred;
+    int split_possible = size > MIN_BLOCK_SIZE;
+    int maxbit = 2 + num_ref + (split_possible ? 1 : 0)
+        + (bipred_possible ? 1 : 0);
+    int code;
+    if (interp_ref) {
+        if (mode == MODE_SKIP) code = 0;
+        else if (mode == MODE_MERGE) code = 2;
+        else if (mode == MODE_BIPRED) code = 3;
+        else if (mode == MODE_INTRA) code = 4;
+        else if (mode == MODE_INTER && ref_idx0 > 0) code = 4 + ref_idx0;
+        else code = 4 + num_ref;
+        if (!bipred_possible && code > 3) code -= 1;
+        if (!split_possible && code > 1) code -= 1;
+        if ((bc.index == 2 || bc.index > 3) && size > MIN_BLOCK_SIZE) {
+            if (code < 3) code = (code + 2) % 3;
+        }
+    } else {
+        if (mode == MODE_SKIP) code = 0;
+        else if (mode == MODE_INTER && ref_idx0 == 0) code = 2;
+        else if (mode == MODE_MERGE) code = 3;
+        else if (mode == MODE_BIPRED) code = 4;
+        else if (mode == MODE_INTRA) code = 5;
+        else code = 5 + ref_idx0;
+        if (!bipred_possible && code > 4) code -= 1;
+        if (!split_possible && code > 1) code -= 1;
+        if ((bc.index == 2 || bc.index > 3) && size > MIN_BLOCK_SIZE) {
+            if (code < 4) code = (code + 3) % 4;
+        }
+    }
+    if (code == maxbit)
+        bw_put(w, maxbit, 0);
+    else
+        bw_put(w, code + 1, 1);
+}
+
+/* intra-mode signalling tables (enc/write_bits.c:418-437) */
+static const int IM_MAP8[10] = {2, 8, 1, 0, 5, 9, 7, 6, 4, 3};
+static const int IM_LEN8[8] = {2, 2, 2, 4, 4, 4, 5, 5};
+static const int IM_CODE8[8] = {0, 1, 2, 12, 13, 14, 30, 31};
+static const int IM_MAP10[10] = {2, 3, 1, 0, 6, 9, 8, 7, 5, 4};
+static const int IM_LEN10[10] = {2, 2, 3, 3, 4, 4, 5, 5, 5, 5};
+static const int IM_CODE10[10] = {2, 3, 2, 3, 2, 3, 0, 1, 2, 3};
+
+typedef struct {
+    const int16_t *qy, *qu, *qv;   /* [n, ydim, ydim] / [n, cdim, cdim] */
+    int32_t ydim, cdim;
+} BankC;
+
+typedef struct {
+    int32_t W, H, num_ref, enable_bipred, interp_ref, use_block_contexts;
+    int32_t num_intra_modes, max_num_tb_part, max_num_pb_part;
+    uint32_t bitbuf;
+    int32_t bitrest;
+} EmitParams;
+
+/* dd output arrays (each int32 [gh, gw]) in DeblockData field order */
+typedef struct {
+    int32_t *mode, *size, *tb_split, *pb_part;
+    int32_t *cbp_y, *cbp_u, *cbp_v;
+    int32_t *mv0x, *mv0y, *mv1x, *mv1y;
+    int32_t *ref_idx0, *ref_idx1, *bipred_flag;
+} DDOut;
+
+typedef struct {
+    EmitParams p;
+    BW w;
+    DDm dd;
+    DDOut *ddo;
+    const LeafOut *leaves;
+    const int32_t *bank_row, *cbp3;
+    int n_leaves;
+    const BankC *banks;   /* 4 coded (8..64) + 1 intra */
+    /* position -> leaf lookup over the 8-grid */
+    int32_t *leaf_at;     /* [(H/8)*(W/8)] leaf index of the leaf whose
+                             origin covers this 8-cell, else -1 */
+} Emit;
+
+static void ddo_store(Emit *e, int ypos, int xpos, int size, int mode,
+                      int cy, int cu, int cv, int32_t mv0x, int32_t mv0y,
+                      int32_t mv1x, int32_t mv1y, int ref0, int ref1,
+                      int dirf)
+{
+    /* mirror both the walk's scratch map (for candidate derivation)
+       and the caller's DeblockData arrays (store_deblock_data) */
+    dd_store(&e->dd, ypos, xpos, size, mode, cy, cu, cv, mv0x, mv0y,
+             mv1x, mv1y, ref0, ref1, dirf);
+    DDOut *o = e->ddo;
+    int gw = e->dd.gw;
+    int by = ypos / MIN_PB_SIZE, bx = xpos / MIN_PB_SIZE;
+    int n = size / MIN_PB_SIZE;
+    for (int m = 0; m < n; m++) {
+        int f = (by + m) * gw + bx;
+        for (int q = 0; q < n; q++, f++) {
+            o->mode[f] = mode;
+            o->size[f] = size;
+            o->tb_split[f] = 0;
+            o->pb_part[f] = 0;
+            o->cbp_y[f] = cy;
+            o->cbp_u[f] = cu;
+            o->cbp_v[f] = cv;
+            o->mv0x[f] = mv0x;
+            o->mv0y[f] = mv0y;
+            o->mv1x[f] = mv1x;
+            o->mv1y[f] = mv1y;
+            o->ref_idx0[f] = ref0;
+            o->ref_idx1[f] = ref1;
+            o->bipred_flag[f] = dirf;
+        }
+    }
+}
+
+static void emit_cbp_and_coeffs(Emit *e, const LeafOut *lf, int cy,
+                                int cu, int cv, int merge, BlockCtx bc,
+                                const BankC *bank, int row, int intra)
+{
+    BW *w = &e->w;
+    int size = lf->size;
+    int coeff_type = (intra ? 1 : 0) << 1;
+    int max_tb;
+    if (merge) max_tb = 1;
+    else if (!intra) max_tb = e->p.max_num_tb_part > 1 ? 2 : 1;
+    else max_tb = e->p.max_num_tb_part;
+
+    int cbp = cy + (cu << 1) + (cv << 2);
+    int code = CBP_TABLE[cbp];
+    if (max_tb > 1) {
+        if (bc.cbp == 0 && code < 2) code = 1 - code;
+        if (code > 1) code += 1;
+    } else if (merge) {
+        if (code == 1) code = 7;
+        else if (code > 1) code = code - 1;
+    } else {
+        if (bc.cbp == 0 && code < 2) code = 1 - code;
+    }
+    put_vlc_c(0, code, w);
+
+    if (cy)
+        write_coeff_c(w, bank->qy + (size_t)row * bank->ydim * bank->ydim,
+                      bank->ydim, size, coeff_type | 0);
+    if (cu)
+        write_coeff_c(w, bank->qu + (size_t)row * bank->cdim * bank->cdim,
+                      bank->cdim, size / 2, coeff_type | 1);
+    if (cv)
+        write_coeff_c(w, bank->qv + (size_t)row * bank->cdim * bank->cdim,
+                      bank->cdim, size / 2, coeff_type | 1);
+}
+
+static void emit_rec(Emit *e, int s, int y0, int x0)
+{
+    const EmitParams *p = &e->p;
+    if (y0 >= p->H || x0 >= p->W)
+        return;
+    int full = (y0 + s <= p->H) && (x0 + s <= p->W);
+    int g8w = p->W / 8;
+    int li = -1;
+    if (full && (y0 / 8) * g8w + (x0 / 8) >= 0) {
+        int cand = e->leaf_at[(y0 / 8) * g8w + (x0 / 8)];
+        if (cand >= 0 && e->leaves[cand].ypos == y0
+            && e->leaves[cand].xpos == x0 && e->leaves[cand].size == s)
+            li = cand;
+    }
+    BlockCtx bc = find_block_contexts(y0, x0, p->H, p->W, s, &e->dd,
+                                      p->use_block_contexts);
+    if (li < 0) {
+        int h = s / 2;
+        if (full)
+            write_super_mode_c(&e->w, s, bc, p->num_ref,
+                               p->enable_bipred, p->interp_ref,
+                               MODE_SKIP, 0, 1);
+        else
+            bw_put(&e->w, 1, 0);
+        emit_rec(e, h, y0, x0);
+        emit_rec(e, h, y0 + h, x0);
+        emit_rec(e, h, y0, x0 + h);
+        emit_rec(e, h, y0 + h, x0 + h);
+        return;
+    }
+    const LeafOut *lf = &e->leaves[li];
+    InterPredC cands[2];
+    int nvec = get_mv_skip_merge(y0, x0, p->W, p->H, s, &e->dd, cands);
+    int32_t mvpx, mvpy;
+    get_mv_pred(y0, x0, p->W, p->H, s, &e->dd, &mvpx, &mvpy);
+
+    write_super_mode_c(&e->w, s, bc, p->num_ref, p->enable_bipred,
+                       p->interp_ref, lf->mode, lf->ref, 0);
+
+    int cy = (e->cbp3[li] >> 0) & 1;
+    int cu = (e->cbp3[li] >> 1) & 1;
+    int cv = (e->cbp3[li] >> 2) & 1;
+    int row = e->bank_row[li];
+
+    if (lf->mode == MODE_INTRA) {
+        int n = p->num_intra_modes;
+        if (n <= 4) {
+            bw_put(&e->w, 2, lf->intra_mode);
+        } else if (n <= 8) {
+            int code = IM_MAP8[lf->intra_mode];
+            bw_put(&e->w, IM_LEN8[code], IM_CODE8[code]);
+        } else {
+            int code = IM_MAP10[lf->intra_mode];
+            bw_put(&e->w, IM_LEN10[code], IM_CODE10[code]);
+        }
+        emit_cbp_and_coeffs(e, lf, cy, cu, cv, 0, bc, &e->banks[4],
+                            row, 1);
+        ddo_store(e, y0, x0, s, MODE_INTRA, cy, cu, cv,
+                  0, 0, 0, 0, 0, 0, -1);
+        return;
+    }
+
+    if (lf->mode == MODE_SKIP || lf->mode == MODE_MERGE) {
+        InterPredC *c = &cands[lf->skip_idx];
+        /* skip/merge index bits */
+        if (nvec == 4) {
+            bw_put(&e->w, 2, lf->skip_idx);
+        } else if (nvec == 3) {
+            if (lf->skip_idx == 0) bw_put(&e->w, 1, 1);
+            else if (lf->skip_idx == 1) bw_put(&e->w, 2, 0);
+            else bw_put(&e->w, 2, 1);
+        } else if (nvec == 2) {
+            bw_put(&e->w, 1, lf->skip_idx);
+        }
+        if (lf->mode == MODE_MERGE)
+            emit_cbp_and_coeffs(e, lf, cy, cu, cv, 1, bc,
+                                &e->banks[size_slot(s)], row, 0);
+        ddo_store(e, y0, x0, s, lf->mode, lf->use_cbp ? cy : 0,
+                  lf->use_cbp ? cu : 0, lf->use_cbp ? cv : 0,
+                  c->mv0x, c->mv0y, c->mv1x, c->mv1y,
+                  c->ref_idx0, c->ref_idx1, c->bipred_flag);
+        return;
+    }
+
+    /* MODE_INTER, PART_NONE */
+    if (p->max_num_pb_part > 1)
+        bw_put(&e->w, 1, 1);     /* pb_part = PART_NONE */
+    write_mv_c(&e->w, lf->mvx, lf->mvy, mvpx, mvpy);
+    if (lf->use_cbp)
+        emit_cbp_and_coeffs(e, lf, cy, cu, cv, 0, bc,
+                            &e->banks[size_slot(s)], row, 0);
+    else
+        emit_cbp_and_coeffs(e, lf, 0, 0, 0, 0, bc,
+                            &e->banks[size_slot(s)], row, 0);
+    ddo_store(e, y0, x0, s, MODE_INTER, lf->use_cbp ? cy : 0,
+              lf->use_cbp ? cu : 0, lf->use_cbp ? cv : 0,
+              lf->mvx, lf->mvy, 0, 0, lf->ref, 0, 0);
+}
+
+/* Entry: emits the SB payload for the decided frame. Returns the
+ * number of whole bytes appended to out_bytes; the trailing partial
+ * bit state is returned through params->bitbuf/bitrest. */
+long thor_emit_frame(EmitParams *params, const LeafOut *leaves,
+                     int n_leaves, const int32_t *bank_row,
+                     const int32_t *cbp3, const BankC *banks,
+                     DDOut *ddo, uint8_t *out_bytes, long cap)
+{
+    Emit e;
+    memset(&e, 0, sizeof(e));
+    e.p = *params;
+    e.w.buf = out_bytes;
+    e.w.cap = (size_t)cap;
+    e.w.bitbuf = params->bitbuf;
+    e.w.bitrest = params->bitrest;
+    e.leaves = leaves;
+    e.n_leaves = n_leaves;
+    e.bank_row = bank_row;
+    e.cbp3 = cbp3;
+    e.banks = banks;
+    e.ddo = ddo;
+
+    int gh = e.p.H / MIN_PB_SIZE, gw = e.p.W / MIN_PB_SIZE;
+    int32_t *cells = (int32_t *)calloc((size_t)gh * gw * 12,
+                                       sizeof(int32_t));
+    e.dd.mode = cells;
+    e.dd.size = cells + (size_t)gh * gw;
+    e.dd.cbp_y = cells + (size_t)gh * gw * 2;
+    e.dd.cbp_u = cells + (size_t)gh * gw * 3;
+    e.dd.cbp_v = cells + (size_t)gh * gw * 4;
+    e.dd.mv0x = cells + (size_t)gh * gw * 5;
+    e.dd.mv0y = cells + (size_t)gh * gw * 6;
+    e.dd.mv1x = cells + (size_t)gh * gw * 7;
+    e.dd.mv1y = cells + (size_t)gh * gw * 8;
+    e.dd.ref_idx0 = cells + (size_t)gh * gw * 9;
+    e.dd.ref_idx1 = cells + (size_t)gh * gw * 10;
+    e.dd.bipred_flag = cells + (size_t)gh * gw * 11;
+    e.dd.gh = gh; e.dd.gw = gw;
+
+    int g8h = e.p.H / 8, g8w = e.p.W / 8;
+    e.leaf_at = (int32_t *)malloc((size_t)g8h * g8w * sizeof(int32_t));
+    for (int i = 0; i < g8h * g8w; i++)
+        e.leaf_at[i] = -1;
+    for (int i = 0; i < n_leaves; i++)
+        e.leaf_at[(leaves[i].ypos / 8) * g8w + (leaves[i].xpos / 8)] = i;
+
+    for (int k = 0; k < e.p.H; k += MAX_BLOCK_SIZE)
+        for (int l = 0; l < e.p.W; l += MAX_BLOCK_SIZE)
+            emit_rec(&e, MAX_BLOCK_SIZE, k, l);
+
+    params->bitbuf = e.w.bitbuf;
+    params->bitrest = e.w.bitrest;
+    free(cells);
+    free(e.leaf_at);
+    return (long)e.w.nbytes;
+}
