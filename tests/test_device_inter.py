@@ -38,6 +38,36 @@ def test_device_inter_roundtrip(tmp_path):
         assert psnr_y > 28.0, f"frame {i}: {psnr_y:.2f} dB"
 
 
+RA_CFG = "/root/reference/config_RA16_high_efficiency.txt"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(RA_CFG),
+                    reason="reference configs absent")
+def test_device_b_frame_roundtrip(tmp_path):
+    """Device encode of a hierarchical-B RA16 sequence (future
+    references with MV sign folding, interp-ref synthesis, tb-enabled
+    sequence, delta-QP streams coded as dqp=0): the emitted stream
+    must decode - by this project's bit-exact decoder - to exactly the
+    encoder's own reconstruction."""
+    from thor_tpu.enc.encoder import encode_file, read_yuv_frames
+    from thor_tpu.dec.decoder import decode_file
+    from thor_tpu.utils.snr import snr_yuv
+
+    yuv = os.path.join(TD, "test_cif.yuv")
+    out = str(tmp_path / "dev_b.bit")
+    recons = encode_file(RA_CFG, yuv, out, 352, 288, 6, device_encode=1)
+    dec = decode_file(out, backend="numpy")
+    assert len(dec) == 6
+    for (ry, ru, rv), (dy, du, dv) in zip(recons, dec):
+        assert np.array_equal(ry, dy)
+        assert np.array_equal(ru, du)
+        assert np.array_equal(rv, dv)
+    frames = list(read_yuv_frames(yuv, 352, 288))
+    for i in (1, 3, 5):
+        assert snr_yuv(frames[i], recons[i])[0] > 28.0
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(CFG), reason="reference configs absent")
 def test_native_decide_emit_parity(tmp_path, monkeypatch):

@@ -117,8 +117,14 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool):
     zzy = zigzag_for(min(s, 16))
     zzc = zigzag_for(min(sc, 16))
 
-    def f(orgY, orgU, orgV, phY, phU, phV, mvy, mvx, slot, qpY, qpC):
+    def f(orgY, orgU, orgV, phY, phU, phV, mvy, mvx, slot, qpY, qpC,
+          sign):
         def one(mvy1, mvx1, slot1):
+            # stream-domain MVs fold toward future references exactly
+            # like the decoder (reconstruct_np: sign = fnum > cur)
+            sg = sign[slot1] != 0
+            mvy1 = jnp.where(sg, -mvy1, mvy1)
+            mvx1 = jnp.where(sg, -mvx1, mvx1)
             mvyc = _expand_blocks_to_cells(mvy1, HB, WB, cpb, H4, W4)
             mvxc = _expand_blocks_to_cells(mvx1, HB, WB, cpb, H4, W4)
             slc = _expand_blocks_to_cells(slot1, HB, WB, cpb, H4, W4)
@@ -592,7 +598,8 @@ def _emit_native(enc, w, leaves, meas, coeff_host, intra_q):
               'use_block_contexts': int(bool(p.use_block_contexts)),
               'num_intra_modes': enc.num_intra_modes,
               'max_num_tb_part': 2 if p.enable_tb_split == 1 else 1,
-              'max_num_pb_part': 4 if p.enable_pb_split else 1}
+              'max_num_pb_part': 4 if p.enable_pb_split else 1,
+              'max_delta_qp': int(p.max_delta_qp)}
     emit_frame_native(w, params, leaves, bank_row, cbp3, banks,
                       enc.deblock_data)
 
@@ -621,8 +628,11 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     fast64 = p.encoder_speed > 0
 
     refs = [enc.get_ref(i) for i in range(R)]
-    assert all(r.frame_num < enc.frame_num for r in refs), \
-        "device P-frame path assumes past references"
+    # uni-prediction MV sign per reference slot: stream MVs fold
+    # toward future references (B frames); matches the decoder's
+    # reconstruct_np sign = frame_num > current
+    sign = np.array([1 if r.frame_num > enc.frame_num else 0
+                     for r in refs], np.int32)
     refY = np.stack([r.y for r in refs])
     refU = np.stack([r.u for r in refs])
     refV = np.stack([r.v for r in refs])
@@ -642,6 +652,14 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     # common/inter_prediction.c:331-348), then zero MV per reference.
     with _t.stage('me'):
         me = DM.me_frame(org_y, refY, phY, lam_me, H, W)
+        if sign.any():
+            # ME searches the reference planes directly (visual MVs);
+            # convert each block's MV to the stream domain by its
+            # chosen slot's sign
+            me = {s: (np.where(sign[v[2]] != 0, -v[0], v[0]),
+                      np.where(sign[v[2]] != 0, -v[1], v[1]),
+                      v[2], v[3])
+                  for s, v in me.items()}
     meas = {}
     trials_dev = {}
     with _t.stage('trials'):
@@ -677,7 +695,8 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         t = _trial_fn(H, W, s, fastY, fast32)(
             jnp.asarray(org_y), jnp.asarray(org_u), jnp.asarray(org_v),
             phY, phU, phV, jnp.asarray(mvyk), jnp.asarray(mvxk),
-            jnp.asarray(slotk), jnp.int32(qpY), jnp.int32(qpC))
+            jnp.asarray(slotk), jnp.int32(qpY), jnp.int32(qpC),
+            jnp.asarray(sign))
         trials_dev[s] = t
         meas[s] = {
             'mvy': mvyk, 'mvx': mvxk, 'slot': slotk,
@@ -738,8 +757,12 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
                    'k': jnp.asarray(ksel), 'm': jnp.asarray(msk)}
 
     with _t.stage('final_mc'):
+        # per-cell stream MVs -> visual MVs (future-ref sign fold)
+        sgc = sign[slc] != 0
+        mvxc_v = np.where(sgc, -mvxc, mvxc)
+        mvyc_v = np.where(sgc, -mvyc, mvyc)
         y_d, u_d, v_d = _final_mc_fn(H, W)(
-            phY, phU, phV, jnp.asarray(mvxc), jnp.asarray(mvyc),
+            phY, phU, phV, jnp.asarray(mvxc_v), jnp.asarray(mvyc_v),
             jnp.asarray(slc), tsel, jnp.int32(qpY), jnp.int32(qpC))
 
     # --- exact intra scan over intra-coded leaves ---
@@ -850,6 +873,11 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
                 write_super_mode(w, enc, binfo, MODE_SKIP, 0, 1)
             else:
                 w.putbits(1, 0)
+            if s == MAX_BLOCK_SIZE and p.max_delta_qp:
+                # split 64-SB: the decoder reads a delta-QP right
+                # after the split signal; always code dqp = 0
+                from .syntax import write_delta_qp
+                write_delta_qp(w, 0)
             emit(h, y0, x0)
             emit(h, y0 + h, x0)
             emit(h, y0, x0 + h)

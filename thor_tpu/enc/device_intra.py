@@ -445,13 +445,20 @@ def encode_intra_frame_device(enc, w, org_y, org_u, org_v):
         key = (y0, x0, s)
         binfo = BlockInfo(size=s, ypos=y0, xpos=x0,
                           bwidth=min(s, W - x0), bheight=min(s, H - y0),
-                          max_num_tb_part=1, max_num_pb_part=1)
+                          max_num_tb_part=2 if p.enable_tb_split == 1
+                          else 1, max_num_pb_part=1)
         binfo.block_context = find_block_contexts(
             y0, x0, H, W, s, enc.deblock_data, bool(p.use_block_contexts))
         if key not in bidx:
             if s > 8:
                 if y0 + s <= H and x0 + s <= W:
                     write_super_mode(w, enc, binfo, MODE_INTRA, 0, 1)
+                if s == 64 and p.max_delta_qp:
+                    # the decoder reads a delta-QP after every 64-SB
+                    # super mode on I frames (mode INTRA != SKIP);
+                    # the device path always codes dqp = 0
+                    from .syntax import write_delta_qp
+                    write_delta_qp(w, 0)
                 h = s // 2
                 emit(h, y0, x0)
                 emit(h, y0 + h, x0)

@@ -593,10 +593,10 @@ class Encoder:
             w.putbits(6, r + 1)
         w.putbits(16, self.frame_num)
 
-        device_p = (p.device_encode and self.frame_type == P_FRAME
-                    and not p.max_delta_qp
+        device_p = (p.device_encode
+                    and self.frame_type in (P_FRAME, B_FRAME)
                     and self.width % 8 == 0 and self.height % 8 == 0
-                    and all(self.get_ref(i).frame_num < self.frame_num
+                    and all(self.get_ref(i) is not None
                             for i in range(self.num_ref)))
         if p.device_encode and self.frame_type == I_FRAME:
             from .device_intra import encode_intra_frame_device

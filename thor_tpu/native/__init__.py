@@ -74,7 +74,8 @@ class EmitParamsC(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int32) for n in
                 ("W", "H", "num_ref", "enable_bipred", "interp_ref",
                  "use_block_contexts", "num_intra_modes",
-                 "max_num_tb_part", "max_num_pb_part")] \
+                 "max_num_tb_part", "max_num_pb_part",
+                 "max_delta_qp")] \
         + [("bitbuf", ctypes.c_uint32), ("bitrest", ctypes.c_int32)]
 
 
@@ -118,7 +119,7 @@ def emit_frame_native(w, enc_params, leaves, bank_row, cbp3, banks, dd):
                       ("W", "H", "num_ref", "enable_bipred",
                        "interp_ref", "use_block_contexts",
                        "num_intra_modes", "max_num_tb_part",
-                       "max_num_pb_part")],
+                       "max_num_pb_part", "max_delta_qp")],
                     ctypes.c_uint32(w.bitbuf).value, w.bitrest)
     # the dd arrays are int32 C-contiguous numpy planes; fill in place
     ddo = DDOutC(*[getattr(dd, name).ctypes.data_as(i32p)

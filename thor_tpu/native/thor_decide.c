@@ -851,6 +851,7 @@ typedef struct {
 typedef struct {
     int32_t W, H, num_ref, enable_bipred, interp_ref, use_block_contexts;
     int32_t num_intra_modes, max_num_tb_part, max_num_pb_part;
+    int32_t max_delta_qp;
     uint32_t bitbuf;
     int32_t bitrest;
 } EmitParams;
@@ -971,6 +972,8 @@ static void emit_rec(Emit *e, int s, int y0, int x0)
                                MODE_SKIP, 0, 1);
         else
             bw_put(&e->w, 1, 0);
+        if (s == MAX_BLOCK_SIZE && p->max_delta_qp)
+            put_vlc_c(0, 0, &e->w);   /* split 64-SB: dqp = 0 */
         emit_rec(e, h, y0, x0);
         emit_rec(e, h, y0 + h, x0);
         emit_rec(e, h, y0, x0 + h);
@@ -985,6 +988,8 @@ static void emit_rec(Emit *e, int s, int y0, int x0)
 
     write_super_mode_c(&e->w, s, bc, p->num_ref, p->enable_bipred,
                        p->interp_ref, lf->mode, lf->ref, 0);
+    if (s == MAX_BLOCK_SIZE && lf->mode != MODE_SKIP && p->max_delta_qp)
+        put_vlc_c(0, 0, &e->w);       /* unsplit 64 leaf: dqp = 0 */
 
     int cy = (e->cbp3[li] >> 0) & 1;
     int cu = (e->cbp3[li] >> 1) & 1;
