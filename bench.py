@@ -1,4 +1,4 @@
-"""Benchmark: end-to-end 1080p decode throughput on one chip.
+"""Benchmark: end-to-end 1080p decode/encode throughput on one chip.
 
 Decodes the committed 17-frame LDB_medium_complexity 1080p golden
 bitstream (testdata/LDB_medium_complexity_1080.bit) through the full
@@ -7,16 +7,24 @@ reconstruction on the device, including the intra wavefront, deblocking
 and CLPF - and verifies the output SHA-256 against the committed
 reference-Thordec hash, so the number cannot silently exclude any stage.
 
+Hardened after round 2 (BENCH_r02 rc=1: the axon TPU tunnel was down and
+the first jax.default_backend() call raised through the bench): the
+parent process never imports jax. It probes the backend in a subprocess
+with a timeout and retries with backoff; if the TPU cannot be brought up
+it falls back to JAX_PLATFORMS=cpu so the bench still produces real
+(slower) numbers, and it ALWAYS prints exactly one JSON line - with an
+"error" field describing any degradation - and exits 0.
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline target is 1080p60 real-time (BASELINE.md north star), so
 vs_baseline = fps / 60. Secondary numbers (synthetic inter-only device
-microbench, encode fps when available) ride along as extra keys in the
-same object.
+microbench, device-encode fps) ride along as extra keys.
 """
 
 import hashlib
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -24,13 +32,19 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(ROOT))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-
 BIT = ROOT / "testdata" / "LDB_medium_complexity_1080.bit"
 SHA = ROOT / "testdata" / "LDB_medium_complexity_1080_dec.sha256"
 
+CACHE_ENV = {
+    "JAX_COMPILATION_CACHE_DIR": str(ROOT / ".jax_cache"),
+    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1",
+    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "0",
+}
+
+
+# ---------------------------------------------------------------------------
+# child workloads (run in subprocesses; each prints one JSON line)
+# ---------------------------------------------------------------------------
 
 def decode_once(collect=False):
     from thor_tpu.dec.decoder import Decoder
@@ -47,9 +61,28 @@ def decode_once(collect=False):
     return n, (h.hexdigest() if collect else None)
 
 
-def synthetic_device_fps():
-    """Secondary: steady-state synthetic inter-only device microbench
-    (the round-1 metric, kept for continuity)."""
+def child_probe():
+    import jax
+    dev = jax.devices()[0]
+    print(json.dumps({"backend": jax.default_backend(),
+                      "device": str(dev.device_kind)}))
+
+
+def child_decode():
+    # warmup pass compiles every frame-shape class (cached across runs
+    # via the persistent compilation cache) and checks bit-exactness.
+    n, digest = decode_once(collect=True)
+    want = SHA.read_text().split()[0]
+    t0 = time.perf_counter()
+    n2, _ = decode_once(collect=False)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"fps": round(n2 / dt, 2), "frames": n2,
+                      "bit_exact": digest == want}))
+
+
+def child_synth():
+    """Steady-state synthetic inter-only device microbench (the round-1
+    metric, kept for continuity)."""
     from functools import partial
 
     import jax
@@ -70,18 +103,16 @@ def synthetic_device_fps():
         for _ in range(iters):
             _ = float(gn(inp))
         best = min(best, time.perf_counter() - t0)
-    return iters / best
+    print(json.dumps({"fps": round(iters / best, 2)}))
 
 
-def encode_fps_1080(n_frames=6):
-    """Secondary: 1080p device-encode throughput (LDB low complexity,
-    batched device ME + trial RDO P-frames, exact host syntax).
+def child_encode(n_frames=6):
+    """1080p device-encode throughput (LDB low complexity, batched
+    device ME + trial RDO P-frames, exact host syntax).
 
     Encodes the same frames twice in one process: the first pass pays
     every program compile, the second reuses them all and is the
     reported steady-state number."""
-    import subprocess
-
     yuv = ROOT / "testdata" / "test_1080.yuv"
     if not yuv.exists():
         subprocess.run([sys.executable, "gen_input_1080.py"],
@@ -101,44 +132,113 @@ def encode_fps_1080(n_frames=6):
         return len(frames) / (time.perf_counter() - t0)
 
     run()
-    return run()
+    print(json.dumps({"fps": round(run(), 2)}))
+
+
+# ---------------------------------------------------------------------------
+# parent orchestrator (never imports jax; survives hangs and crashes)
+# ---------------------------------------------------------------------------
+
+def _run_child(name, timeout, env):
+    """Run `python bench.py --child <name>`; return (obj, err)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, str(ROOT / "bench.py"), "--child", name],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=str(ROOT))
+    except subprocess.TimeoutExpired:
+        return None, f"{name}: timeout after {timeout}s"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+        return None, f"{name}: rc={r.returncode}: " + " | ".join(tail)
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                continue
+    return None, f"{name}: no JSON in output"
+
+
+def _probe_backend(base_env):
+    """Try to bring up the default (TPU) backend in a subprocess, with
+    retries and backoff. Returns (probe_obj|None, errors)."""
+    errors = []
+    for attempt, (tmo, backoff) in enumerate([(240, 20), (300, 60),
+                                              (420, 0)]):
+        obj, err = _run_child("probe", tmo, base_env)
+        if obj is not None:
+            return obj, errors
+        errors.append(f"probe attempt {attempt + 1}: {err}")
+        if backoff:
+            time.sleep(backoff)
+    return None, errors
 
 
 def main():
-    # warmup pass: compiles every frame-shape class (cached across runs
-    # via the persistent compilation cache) and checks bit-exactness.
-    n, digest = decode_once(collect=True)
-    want = SHA.read_text().split()[0]
-    exact = digest == want
+    base_env = dict(os.environ)
+    base_env.update(CACHE_ENV)
 
-    t0 = time.perf_counter()
-    n2, _ = decode_once(collect=False)
-    dt = time.perf_counter() - t0
-    fps = n2 / dt
+    out = {"metric": "1080p_decode_e2e_fps", "value": None,
+           "unit": "frames/s", "vs_baseline": None}
+    notes = []
 
-    try:
-        synth = round(synthetic_device_fps(), 2)
-    except Exception:
-        synth = None
+    if os.environ.get("THOR_BENCH_FORCE_CPU"):
+        probe = None
+        notes.append("forced cpu via THOR_BENCH_FORCE_CPU")
+    else:
+        probe, perrs = _probe_backend(base_env)
+        notes.extend(perrs)
 
-    enc_fps = None
+    if probe is not None and probe.get("backend") not in (None, "cpu"):
+        env = base_env
+        on_tpu = True
+        out["backend"] = probe.get("backend")
+        out["device"] = probe.get("device")
+    else:
+        # TPU unreachable: degrade to CPU so the bench still measures
+        # the real code path end-to-end instead of producing nothing.
+        env = dict(base_env)
+        env["JAX_PLATFORMS"] = "cpu"
+        on_tpu = False
+        out["backend"] = "cpu"
+        if probe is None:
+            notes.append("tpu backend unavailable; cpu fallback numbers")
+
+    dec, err = _run_child("decode", 2400 if on_tpu else 5400, env)
+    if dec is not None:
+        out["value"] = dec["fps"]
+        out["vs_baseline"] = round(dec["fps"] / 60.0, 3)
+        out["bit_exact"] = dec["bit_exact"]
+        out["frames"] = dec["frames"]
+    else:
+        notes.append(err)
+
+    if os.environ.get("THOR_BENCH_SYNTH", "1") != "0":
+        syn, err = _run_child("synth", 900 if on_tpu else 2400, env)
+        if syn is not None:
+            out["synthetic_inter_device_fps"] = syn["fps"]
+        else:
+            notes.append(err)
+
     if os.environ.get("THOR_BENCH_ENCODE", "1") != "0":
-        try:
-            enc_fps = round(encode_fps_1080(), 2)
-        except Exception:
-            enc_fps = None
+        enc, err = _run_child("encode", 2400 if on_tpu else 7200, env)
+        if enc is not None:
+            out["1080p_device_encode_fps"] = enc["fps"]
+        else:
+            notes.append(err)
 
-    print(json.dumps({
-        "metric": "1080p_decode_e2e_fps",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 60.0, 3),
-        "bit_exact": exact,
-        "frames": n2,
-        "synthetic_inter_device_fps": synth,
-        "1080p_device_encode_fps": enc_fps,
-    }))
+    if notes:
+        out["error"] = "; ".join(notes)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        for k, v in CACHE_ENV.items():
+            os.environ.setdefault(k, v)
+        {"probe": child_probe, "decode": child_decode,
+         "synth": child_synth, "encode": child_encode}[sys.argv[2]]()
+    else:
+        main()

@@ -456,7 +456,14 @@ def use_pallas_intra() -> bool:
     v = os.environ.get("THOR_PALLAS_INTRA")
     if v is not None:
         return v not in ("0", "")
-    return jax.default_backend() == "tpu"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        # Backend init failure (e.g. unreachable TPU tunnel) must never
+        # propagate out of a capability query; callers fall back to the
+        # XLA wavefront path, which runs on whatever backend jax can
+        # still bring up (round-2 postmortem: BENCH_r02 rc=1).
+        return False
 
 
 @lru_cache(maxsize=None)

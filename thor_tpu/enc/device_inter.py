@@ -377,8 +377,15 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
         try:
             return _decide_frame_native(enc, meas, intra_modes,
                                         intra_costs, lam, lam_me)
-        except Exception:
-            pass
+        except Exception as e:
+            # A broken thor_decide.c must not degrade silently into the
+            # ~100x slower Python walk: fail loudly under pytest, warn
+            # otherwise (round-2 verdict, weak item 5).
+            if "PYTEST_CURRENT_TEST" in os.environ:
+                raise
+            import logging
+            logging.getLogger(__name__).warning(
+                "native decide failed, falling back to Python: %r", e)
     W, H = enc.width, enc.height
     dd = enc.deblock_data
     p = enc.params
@@ -849,7 +856,13 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
             with _t.stage('emit'):
                 _emit_native(enc, w, leaves, meas, coeff_host, intra_q)
             return y, u, v
-        except Exception:
+        except Exception as e:
+            # See _decide_frame: native-path failures must be loud.
+            if "PYTEST_CURRENT_TEST" in os.environ:
+                raise
+            import logging
+            logging.getLogger(__name__).warning(
+                "native emit failed, falling back to Python: %r", e)
             enc.deblock_data.reset()
 
     by_pos = {(lf.ypos, lf.xpos, lf.size): lf for lf in leaves}

@@ -92,15 +92,69 @@ def _input_specs(cfg: FrameConfig, binp):
     return specs
 
 
+def _my_gop_rows(mesh: Mesh):
+    """gop-axis rows of the mesh owned by this process. Requires every
+    row to live on a single process (the 'gop across hosts, tile within
+    a host' layout init_distributed prescribes)."""
+    rows = []
+    me = jax.process_index()
+    for r in range(mesh.devices.shape[0]):
+        procs = {d.process_index for d in mesh.devices[r].flat}
+        if len(procs) != 1:
+            raise ValueError(
+                "multi-process mesh must not split a gop row across "
+                f"processes (row {r} spans {sorted(procs)})")
+        if procs == {me}:
+            rows.append(r)
+    return rows
+
+
+def _globalize(mesh: Mesh, in_shardings, binp):
+    """Multi-process promotion of the (replicated) host-parsed batch:
+    each process contributes the batch chunks of its own gop rows and
+    the result is one global jax.Array per leaf, already laid out in
+    the target sharding (the host parse is per-frame serial work
+    replicated on every process; only pixels are sharded)."""
+    from jax.experimental import multihost_utils as mhu
+
+    gop = mesh.devices.shape[0]
+    rows = _my_gop_rows(mesh)
+
+    def one(sh, v):
+        v = np.asarray(v)
+        B = v.shape[0]
+        assert B % gop == 0
+        c = B // gop
+        local = np.concatenate([v[r * c:(r + 1) * c] for r in rows])
+        return mhu.host_local_array_to_global_array(local, mesh, sh.spec)
+
+    return jax.tree_util.tree_map(
+        one, in_shardings, binp,
+        is_leaf=lambda x: isinstance(x, NamedSharding))
+
+
+def fetch_to_host(x, mesh: Mesh = None):
+    """Materialize a (possibly cross-process) sharded array on every
+    host as numpy."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils as mhu
+        return np.asarray(mhu.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def sharded_reconstruct(mesh: Mesh, cfg: FrameConfig, binp):
     """Jit the batched frame reconstruction over the mesh with real
     gop x tile shardings; returns device arrays (y, u, v) sharded
-    [batch -> 'gop', rows -> 'tile']."""
+    [batch -> 'gop', rows -> 'tile']. Works on single-process meshes
+    and on multi-process meshes brought up via init_distributed (gop
+    rows across processes)."""
     in_specs = _input_specs(cfg, binp)
     in_shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), in_specs,
         is_leaf=lambda x: isinstance(x, P))
     out_shardings = NamedSharding(mesh, P("gop", "tile", None))
+    if jax.process_count() > 1:
+        binp = _globalize(mesh, in_shardings, binp)
     fn = jax.jit(partial(_batched_frame_fn, cfg),
                  in_shardings=(in_shardings,),
                  out_shardings=(out_shardings,) * 3)

@@ -277,7 +277,9 @@ class ShardedDecoder:
                 cfg_inps.append(cfg_inps[-1])
             cfg, binp = _unify_level(cfg_inps)
             yb, ub, vb = sharded_reconstruct(self.mesh, cfg, binp)
-            yb, ub, vb = (np.asarray(yb), np.asarray(ub), np.asarray(vb))
+            from .mesh import fetch_to_host
+            yb, ub, vb = (fetch_to_host(yb), fetch_to_host(ub),
+                          fetch_to_host(vb))
             for j, i in enumerate(level):
                 recon[i] = (yb[j].astype(np.uint8),
                             ub[j].astype(np.uint8),
