@@ -305,11 +305,7 @@ def _frame_fn(cfg: FrameConfig, inp):
     for s, _ in cfg.groups_c:
         g = inp[f'gc{s}']
         vals = JK.residual_group(g['coeff'], g['f'], g['a'], g['sh'], s)
-        ar = jnp.arange(s, dtype=jnp.int32)
-        yy = g['y'][:, None, None] + ar[None, :, None]
-        xx = g['x'][:, None, None] + ar[None, None, :]
-        pl = jnp.broadcast_to(g['pl'][:, None, None], vals.shape)
-        rc = rc.at[pl, yy, xx].add(vals)
+        rc = JK.scatter_tu_c(rc, vals, g['y'], g['x'], g['pl'])
 
     # --- inter prediction + residual add ---
     if cfg.R > 0:

@@ -248,38 +248,44 @@ def residual_group(coeff, dq_factor, dq_add, dq_shift, size: int):
 
 
 def scatter_tu(resid_plane, vals, ys, xs):
-    """Scatter-add [N, s, s] residuals at per-TU (ys, xs) origins."""
+    """Scatter-add [N, s, s] residuals at per-TU (ys, xs) origins.
+
+    TU origins are always s-aligned (quadtree + TB-split geometry), so
+    the windowed 2-D scatter (slow generic scatter on TPU, ~7 ms at
+    1080p) reduces to a row-granular scatter-add into a dense
+    [ceil(H/s)*ceil(W/s), s*s] bank followed by a reshape-transpose
+    add (~0.07 ms). Group padding entries carry zero coefficients, so
+    colliding at row 0 is harmless under add."""
+    H, W = resid_plane.shape
     s = vals.shape[-1]
-    ar = jnp.arange(s, dtype=jnp.int32)
-    yy = ys[:, None, None] + ar[None, :, None]
-    xx = xs[:, None, None] + ar[None, None, :]
-    return resid_plane.at[yy, xx].add(vals)
+    N = vals.shape[0]
+    HB, WB = -(-H // s), -(-W // s)
+    row = (ys // s) * WB + (xs // s)
+    bank = jnp.zeros((HB * WB, s * s), vals.dtype)
+    bank = bank.at[row].add(vals.reshape(N, s * s))
+    d = bank.reshape(HB, WB, s, s).transpose(0, 2, 1, 3) \
+        .reshape(HB * s, WB * s)[:H, :W]
+    return resid_plane + d
+
+
+def scatter_tu_c(rc, vals, ys, xs, pl):
+    """Chroma twin of scatter_tu over the [2, Hc, Wc] plane pair; pl
+    selects u (0) or v (1)."""
+    _, Hc, Wc = rc.shape
+    s = vals.shape[-1]
+    N = vals.shape[0]
+    HB, WB = -(-Hc // s), -(-Wc // s)
+    row = (pl * HB + ys // s) * WB + (xs // s)
+    bank = jnp.zeros((2 * HB * WB, s * s), vals.dtype)
+    bank = bank.at[row].add(vals.reshape(N, s * s))
+    d = bank.reshape(2, HB, WB, s, s).transpose(0, 1, 3, 2, 4) \
+        .reshape(2, HB * s, WB * s)[:, :Hc, :Wc]
+    return rc + d
 
 
 # ---------------------------------------------------------------------------
 # Deblocking (common/common_frame.c:46-321)
 # ---------------------------------------------------------------------------
-
-def _edge_cond_y(dd, qr, qc, pr, pc, pos, vertical):
-    """Per-(cell-row, edge) luma filter condition from the side-info map."""
-    q_size = dd['size'][qr, qc]
-    part = dd['pb_part'][qr, qc]
-    split_part = jnp.where(vertical, (part == 2) | (part == 3),
-                           (part == 1) | (part == 3))
-    adj = ((dd['tb_split'][qr, qc] > 0) | split_part) & (q_size > 8)
-    q_size = jnp.where(adj, q_size // 2, q_size)
-    interior = (pos % q_size) > 0
-
-    def big(a):
-        return jnp.abs(a) >= 4
-    mv = (big(dd['mv0x'][pr, pc]) | big(dd['mv0y'][pr, pc])
-          | big(dd['mv0x'][qr, qc]) | big(dd['mv0y'][qr, qc])
-          | big(dd['mv1x'][pr, pc]) | big(dd['mv1y'][pr, pc])
-          | big(dd['mv1x'][qr, qc]) | big(dd['mv1y'][qr, qc]))
-    cbp = (dd['cbp_y'][pr, pc] > 0) | (dd['cbp_y'][qr, qc] > 0)
-    intra = (dd['mode'][pr, pc] == 1) | (dd['mode'][qr, qc] == 1)
-    return ~interior & (mv | cbp | intra)
-
 
 def _rep_rows(a, rep):
     """Dense row-expansion (broadcast+reshape)."""
@@ -287,105 +293,148 @@ def _rep_rows(a, rep):
     return jnp.broadcast_to(a[:, None, :], (n, rep, m)).reshape(n * rep, m)
 
 
-def _deblock_pass_v(rec, cond, tc, H, W):
-    """Apply the 4-tap delta on all vertical edges at columns 8k.
-    cond: [H, W//8 - 1]. All accesses are dense reshape-strided."""
-    G = rec.reshape(H, W // 8, 8)
-    p1 = G[:, :-1, 6]
-    p0 = G[:, :-1, 7]
-    q0 = G[:, 1:, 0]
-    q1 = G[:, 1:, 1]
-    delta = (18 * (q0 - p0) - 6 * (q1 - p1) + 16) >> 5
-    delta = jnp.clip(delta, -tc, tc)
+def _expand2(a, ry, rx):
+    """[h, w] -> [h*ry, w*rx] dense block expansion."""
+    h, w = a.shape
+    return jnp.broadcast_to(a[:, None, :, None], (h, ry, w, rx)) \
+        .reshape(h * ry, w * rx)
+
+
+def _shifted(a, k, axis):
+    """out[i] = a[i + k] along axis (wrapped values are always masked
+    off by the role/validity masks downstream)."""
+    return jnp.roll(a, -k, axis=axis)
+
+
+def _deblock_luma_dir(rec, dd, H, W, beta, tc, axis):
+    """One luma deblock pass (axis=1: vertical edges at columns 8k;
+    axis=0: horizontal edges at rows 8k) as a single dense shift-select
+    program: no transposes, no strided lane updates - every pixel
+    computes its would-be filtered value for each of the four edge
+    roles (p1, p0, q0, q1) from rolled copies of the plane and selects
+    by its position class. Exact twin of common/common_frame.c:46-241.
+    """
+    sh = lambda a, k: _shifted(a, k, axis)
+    X = rec
+    sm2, sm1, sp1 = sh(X, -2), sh(X, -1), sh(X, 1)
+
+    # delta at q0 positions: p1=sm2 p0=sm1 q0=X q1=sp1
+    delta = jnp.clip((18 * (X - sm1) - 6 * (sp1 - sm2) + 16) >> 5,
+                     -tc, tc)
     dh = jnp.sign(delta) * (jnp.abs(delta) >> 1)
-    G = G.at[:, :-1, 6].set(jnp.where(cond, clip255(p1 + dh), p1))
-    G = G.at[:, :-1, 7].set(jnp.where(cond, clip255(p0 + delta), p0))
-    G = G.at[:, 1:, 0].set(jnp.where(cond, clip255(q0 - delta), q0))
-    G = G.at[:, 1:, 1].set(jnp.where(cond, clip255(q1 - dh), q1))
-    return G.reshape(H, W)
+
+    # activity test per 8-edge: d sampled at lines 2 and 5 of the
+    # 8-group along the edge, at the q0 column/row of the edge
+    ad = jnp.abs(sm1 - sm2) + jnp.abs(sp1 - X)
+    A = ad.reshape(H // 8, 8, W // 8, 8)
+    d8 = (A[:, 2, :, 0] + A[:, 5, :, 0]) if axis == 1 \
+        else (A[:, 0, :, 2] + A[:, 0, :, 5])
+    act8 = d8 < beta                                   # [H/8, W/8]
+
+    # side-info condition on the 4-px cell grid; q-cell at even cells
+    # along the pass axis, p-cell one cell before it
+    def big(a):
+        return jnp.abs(a) >= 4
+    mvq = (big(dd['mv0x']) | big(dd['mv0y'])
+           | big(dd['mv1x']) | big(dd['mv1y']))
+    cbpq = dd['cbp_y'] > 0
+    intq = dd['mode'] == 1
+    mv = mvq | _shifted(mvq, -1, axis)
+    cbp = cbpq | _shifted(cbpq, -1, axis)
+    intra = intq | _shifted(intq, -1, axis)
+
+    part = dd['pb_part']
+    split_part = ((part == 2) | (part == 3)) if axis == 1 \
+        else ((part == 1) | (part == 3))
+    adj = ((dd['tb_split'] > 0) | split_part) & (dd['size'] > 8)
+    qs = jnp.where(adj, dd['size'] // 2, dd['size'])
+    cells = jnp.arange(W // 4, dtype=jnp.int32)[None, :] if axis == 1 \
+        else jnp.arange(H // 4, dtype=jnp.int32)[:, None]
+    interior = ((4 * cells) % qs) > 0
+    cond_cell = ~interior & (mv | cbp | intra)         # [H/4, W/4]
+
+    # per-edge condition [H/4, W/8] (vert) - cond at even cells AND the
+    # 8-line activity - expanded to pixels for the q side; the p side
+    # reads the next edge over
+    if axis == 1:
+        condE = cond_cell[:, 0::2] & _rep_rows(act8, 2)
+        CE = _expand2(condE, 4, 8)
+        pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+        n_edge_groups = W // 8
+    else:
+        condE = cond_cell[0::2, :] & _rep_rows(act8.T, 2).T
+        CE = _expand2(condE, 8, 4)
+        pos = jnp.arange(H, dtype=jnp.int32)[:, None]
+        n_edge_groups = H // 8
+    CEp = sh(CE, 8)                      # p side: edge of the next group
+    c = pos % 8
+    grp = pos // 8
+    mask_q = CE & (grp >= 1)
+    mask_p = CEp & (grp < n_edge_groups - 1)
+
+    out = X
+    out = jnp.where(mask_q & (c == 0), clip255(X - delta), out)
+    out = jnp.where(mask_q & (c == 1), clip255(X - sh(dh, -1)), out)
+    out = jnp.where(mask_p & (c == 7), clip255(X + sh(delta, 1)), out)
+    out = jnp.where(mask_p & (c == 6), clip255(X + sh(dh, 2)), out)
+    return out
 
 
 def deblock_luma(rec, dd, H: int, W: int, beta, tc):
     """Exact two-pass luma deblock; every edge within a pass is
-    independent (filter reach +/-2 < edge spacing 8), so each pass is one
-    masked whole-plane update. All indexing is reshape-strided (dense)."""
-    J = np.arange(8, W, 8)
-    nJ = len(J)
-
-    # --- vertical edges ---
-    r2 = rec[2::8, :].reshape(H // 8, W // 8, 8)
-    r5 = rec[5::8, :].reshape(H // 8, W // 8, 8)
-    d = (jnp.abs(r2[:, :-1, 6] - r2[:, :-1, 7])
-         + jnp.abs(r2[:, 1:, 1] - r2[:, 1:, 0])
-         + jnp.abs(r5[:, :-1, 6] - r5[:, :-1, 7])
-         + jnp.abs(r5[:, 1:, 1] - r5[:, 1:, 0]))
-    qc = jnp.asarray(J // 4)
-    rows4 = jnp.arange(H // 4)
-    cond4 = _edge_cond_y(dd, rows4[:, None], qc[None, :],
-                         rows4[:, None], qc[None, :] - 1,
-                         jnp.asarray(J)[None, :], True)
-    act = _rep_rows(d < beta, 2)                   # [H/4, nJ]
-    cond = _rep_rows(cond4 & act, 4)               # [H, nJ]
-    rec = _deblock_pass_v(rec, cond, tc, H, W)
-
-    # --- horizontal edges (on the vertically-filtered plane) ---
-    I = np.arange(8, H, 8)
-    c2 = rec[:, 2::8].T.reshape(W // 8, H // 8, 8)
-    c5 = rec[:, 5::8].T.reshape(W // 8, H // 8, 8)
-    d = (jnp.abs(c2[:, :-1, 6] - c2[:, :-1, 7])
-         + jnp.abs(c2[:, 1:, 1] - c2[:, 1:, 0])
-         + jnp.abs(c5[:, :-1, 6] - c5[:, :-1, 7])
-         + jnp.abs(c5[:, 1:, 1] - c5[:, 1:, 0])).T   # [nI, W/8]
-    qr = jnp.asarray(I // 4)
-    cols4 = jnp.arange(W // 4)
-    cond4 = _edge_cond_y(dd, qr[:, None], cols4[None, :],
-                         qr[:, None] - 1, cols4[None, :],
-                         jnp.asarray(I)[:, None], False)
-    act = _rep_rows((d < beta).T, 2).T             # [nI, W/4]
-    cond = _rep_rows((cond4 & act).T, 4).T         # [nI, W]
-    recT = _deblock_pass_v(rec.T, cond.T, tc, W, H)
-    return recT.T
+    independent (filter reach +/-2 < edge spacing 8), so each pass is
+    one dense whole-plane shift-select update."""
+    rec = _deblock_luma_dir(rec, dd, H, W, beta, tc, 1)
+    return _deblock_luma_dir(rec, dd, H, W, beta, tc, 0)
 
 
-def _deblock_pass_vc(recC, cond, tc, Hc, Wc):
-    """Chroma 2-tap vertical-edge pass at chroma columns 4k (dense)."""
-    G = recC.reshape(Hc, Wc // 4, 4)
-    p1 = G[:, :-1, 2]
-    p0 = G[:, :-1, 3]
-    q0 = G[:, 1:, 0]
-    q1 = G[:, 1:, 1]
-    delta = jnp.clip((4 * (q0 - p0) + (p1 - q1) + 4) >> 3, -tc, tc)
-    G = G.at[:, :-1, 3].set(jnp.where(cond, clip255(p0 + delta), p0))
-    G = G.at[:, 1:, 0].set(jnp.where(cond, clip255(q0 - delta), q0))
-    return G.reshape(Hc, Wc)
+def _deblock_chroma_dir(recC, dd, H, W, tc, axis):
+    """One chroma deblock pass (intra edges only, 2-tap delta) as a
+    dense shift-select program on the [H/2, W/2] plane. Edges follow
+    the LUMA 8-grid (chroma 4-grid)."""
+    Hc, Wc = H // 2, W // 2
+    sh = lambda a, k: _shifted(a, k, axis)
+    X = recC
+    sm2, sm1, sp1 = sh(X, -2), sh(X, -1), sh(X, 1)
+    # delta at q0: p1=sm2 p0=sm1 q0=X q1=sp1
+    delta = jnp.clip((4 * (X - sm1) + (sm2 - sp1) + 4) >> 3, -tc, tc)
+
+    # condition per (8-luma-line, edge): intra on either side and the
+    # edge not interior to the q block. Samples of the cell grid:
+    # q cell (2i, 2m) [axis=1], p cell (2i, 2m-1).
+    if axis == 1:
+        modeq = dd['mode'][0::2, 0::2] == 1
+        modep = jnp.roll(dd['mode'][0::2, 1::2] == 1, 1, axis=1)
+        q_size = dd['size'][0::2, 0::2]
+        pos8 = 8 * jnp.arange(W // 8, dtype=jnp.int32)[None, :]
+    else:
+        modeq = dd['mode'][0::2, 0::2] == 1
+        modep = jnp.roll(dd['mode'][1::2, 0::2] == 1, 1, axis=0)
+        q_size = dd['size'][0::2, 0::2]
+        pos8 = 8 * jnp.arange(H // 8, dtype=jnp.int32)[:, None]
+    interior = (pos8 % q_size) > 0
+    cond8 = (modeq | modep) & ~interior               # [H/8, W/8]
+
+    CE = _expand2(cond8, Hc // (H // 8), Wc // (W // 8))
+    pos = jnp.arange(Wc, dtype=jnp.int32)[None, :] if axis == 1 \
+        else jnp.arange(Hc, dtype=jnp.int32)[:, None]
+    c = pos % 4
+    grp = pos // 4
+    n_groups = (Wc if axis == 1 else Hc) // 4
+    mask_q = CE & (grp >= 1)
+    mask_p = sh(CE, 4) & (grp < n_groups - 1)
+
+    out = X
+    out = jnp.where(mask_q & (c == 0), clip255(X - delta), out)
+    out = jnp.where(mask_p & (c == 3), clip255(X + sh(delta, 1)), out)
+    return out
 
 
 def deblock_chroma(recC, dd, H: int, W: int, tc):
-    """Chroma deblock (intra edges only, 2-tap delta). H/W are LUMA dims;
-    recC is the [H/2, W/2] chroma plane. Dense reshape-strided accesses."""
-    Hc, Wc = H // 2, W // 2
-    # vertical: luma edge cols J (mult of 8) -> chroma col J/2
-    J = np.arange(8, W, 8)
-    qc = jnp.asarray(J // 4)
-    rows8 = jnp.arange(H // 8)          # one cond per 8 luma rows
-    q_size = dd['size'][rows8[:, None] * 2, qc[None, :]]
-    mode = ((dd['mode'][rows8[:, None] * 2, qc[None, :] - 1] == 1)
-            | (dd['mode'][rows8[:, None] * 2, qc[None, :]] == 1))
-    interior = (jnp.asarray(J)[None, :] % q_size) > 0
-    cond = _rep_rows(mode & ~interior, 4)            # [H/2, nJ]
-    recC = _deblock_pass_vc(recC, cond, tc, Hc, Wc)
-
-    # horizontal
-    I = np.arange(8, H, 8)
-    qr = jnp.asarray(I // 4)
-    cols8 = jnp.arange(W // 8)
-    q_size = dd['size'][qr[:, None], cols8[None, :] * 2]
-    mode = ((dd['mode'][qr[:, None] - 1, cols8[None, :] * 2] == 1)
-            | (dd['mode'][qr[:, None], cols8[None, :] * 2] == 1))
-    interior = (jnp.asarray(I)[:, None] % q_size) > 0
-    cond = _rep_rows((mode & ~interior).T, 4)        # [W/2, nI]
-    recT = _deblock_pass_vc(recC.T, cond, tc, Wc, Hc)
-    return recT.T
+    """Chroma deblock (intra edges only, 2-tap delta). H/W are LUMA
+    dims; recC is the [H/2, W/2] chroma plane."""
+    recC = _deblock_chroma_dir(recC, dd, H, W, tc, 1)
+    return _deblock_chroma_dir(recC, dd, H, W, tc, 0)
 
 
 # ---------------------------------------------------------------------------
