@@ -11,24 +11,27 @@ decoder-exact by construction.
 Pipeline per P-frame:
  1. all-phase interpolation planes for every reference (shared by ME,
     trial coding and final reconstruction).
- 2. device ME (device_me): per-block MV + best ref for sizes 8..64.
+ 2. device ME (device_me): per-block MV + best ref for sizes 8..64,
+    plus each reference's own best MV (feeding the bipred pairs).
  3. device trial coding per size at K motion variants (ME MV,
-    left/up-right neighbour MVs, zero MV per ref): MC -> residual ->
-    transform -> quantize -> reconstruct; exact SSD + exact coeff
-    bits per (variant, block).
+    left/up-right neighbour MVs, zero MV per ref, and - on
+    bipred-enabled frames - bipred pairs from the per-ref ME, their
+    neighbours and zero-zero): MC -> residual -> transform ->
+    quantize -> reconstruct; exact SSD + exact coeff bits per
+    (variant, block).
  4. host decision walk (raster/quadtree order, mirroring
     process_block's bottom-up recursion): derives the exact
     skip/merge candidates and MV predictors from the evolving
-    side-info map and picks SKIP / MERGE / INTER / INTRA per leaf by
-    matching candidates against the measured variants.
+    side-info map and picks SKIP / MERGE / INTER / BIPRED / INTRA
+    per leaf by matching candidates against the measured variants
+    (bi candidates match on both lists).
  5. device final reconstruction: whole-frame MC with the decided
-    per-cell MV field + residual scatter of the chosen coefficients +
-    exact intra scan for intra-coded leaves.
+    per-cell MV fields (two lists + bi mask) + residual scatter of
+    the chosen coefficients + exact intra scan for intra leaves.
  6. host syntax emission through the exact bitstream writers.
 
-The toolset is restricted (PART_NONE, tb_split=0, no bipred,
-non-RDOQ quantization); every emitted stream is fully valid Thor
-syntax.
+The toolset is restricted (PART_NONE, tb_split=0, non-RDOQ
+quantization); every emitted stream is fully valid Thor syntax.
 """
 
 from __future__ import annotations
@@ -43,7 +46,8 @@ from jax import lax
 
 from ..codec.constants import (
     CHROMA_QP, GDEQUANT_TABLE, MODE_SKIP, MODE_INTER, MODE_INTRA,
-    MODE_MERGE, MIN_BLOCK_SIZE, MAX_BLOCK_SIZE, zigzag_for)
+    MODE_MERGE, MODE_BIPRED, MIN_BLOCK_SIZE, MAX_BLOCK_SIZE,
+    zigzag_for)
 from ..codec.blockdata import (
     find_block_contexts, get_mv_pred, get_mv_skip)
 from ..ops import jax_kernels as JK
@@ -102,13 +106,19 @@ def _recon_blocks(pred, q, s, qp):
 
 
 @lru_cache(maxsize=None)
-def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool):
+def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
+              has_bi: bool = False):
     """Jitted per-size trial coding of every full block at K motion
-    variants (ME MV, neighbour MVs, zero MV per ref - the candidate
-    set the skip/merge derivation can produce): per (variant, block)
-    coded/zero SSDs (Y+U+V), exact coeff bits, cbp flags and the
-    quantized coefficients (device-resident). qpY/qpC are traced, so
-    one compile covers the whole GOP QP cascade."""
+    variants (ME MV, neighbour MVs, zero MV per ref, and - on bipred
+    frames - bipred pairs; the candidate set the skip/merge derivation
+    can produce plus the explicit INTER/BIPRED searches): per
+    (variant, block) coded/zero SSDs (Y+U+V), exact coeff bits, cbp
+    flags and the quantized coefficients (device-resident). qpY/qpC
+    are traced, so one compile covers the whole GOP QP cascade.
+
+    Variants are stream-domain 7-tuples (mvy0, mvx0, slot0, mvy1,
+    mvx1, slot1, bi); bi != 0 averages the two prediction lists like
+    the decoder (dec/decode_block.c:394-447)."""
     Hc, Wc = H // 2, W // 2
     H4, W4 = H // 4, W // 4
     HB, WB = H // s, W // s
@@ -117,23 +127,42 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool):
     zzy = zigzag_for(min(s, 16))
     zzc = zigzag_for(min(sc, 16))
 
-    def f(orgY, orgU, orgV, phY, phU, phV, mvy, mvx, slot, qpY, qpC,
-          sign):
-        def one(mvy1, mvx1, slot1):
+    def f(orgY, orgU, orgV, phY, phU, phV, mvy0, mvx0, slot0,
+          mvy1, mvx1, slot1, bi, qpY, qpC, sign_uni, sign_bi):
+        def gather3(mvyk, mvxk, slotk):
+            mvyc = _expand_blocks_to_cells(mvyk, HB, WB, cpb, H4, W4)
+            mvxc = _expand_blocks_to_cells(mvxk, HB, WB, cpb, H4, W4)
+            slc = _expand_blocks_to_cells(slotk, HB, WB, cpb, H4, W4)
+            pY = JK.mc_gather_from_phases(phY, mvxc, mvyc, slc, PAD,
+                                          2, 4, H, W, -2)
+            pU = JK.mc_gather_from_phases(phU, mvxc, mvyc, slc,
+                                          PAD_C, 3, 2, Hc, Wc, -1)
+            pV = JK.mc_gather_from_phases(phV, mvxc, mvyc, slc,
+                                          PAD_C, 3, 2, Hc, Wc, -1)
+            return pY, pU, pV
+
+        def one(mvy0k, mvx0k, slot0k, mvy1k, mvx1k, slot1k, bik):
             # stream-domain MVs fold toward future references exactly
-            # like the decoder (reconstruct_np: sign = fnum > cur)
-            sg = sign[slot1] != 0
-            mvy1 = jnp.where(sg, -mvy1, mvy1)
-            mvx1 = jnp.where(sg, -mvx1, mvx1)
-            mvyc = _expand_blocks_to_cells(mvy1, HB, WB, cpb, H4, W4)
-            mvxc = _expand_blocks_to_cells(mvx1, HB, WB, cpb, H4, W4)
-            slc = _expand_blocks_to_cells(slot1, HB, WB, cpb, H4, W4)
-            predY = JK.mc_gather_from_phases(phY, mvxc, mvyc, slc, PAD,
-                                             2, 4, H, W, -2)
-            predU = JK.mc_gather_from_phases(phU, mvxc, mvyc, slc,
-                                             PAD_C, 3, 2, Hc, Wc, -1)
-            predV = JK.mc_gather_from_phases(phV, mvxc, mvyc, slc,
-                                             PAD_C, 3, 2, Hc, Wc, -1)
+            # like the decoder (native_inputs: sign0 = bi ? fnum >= cur
+            # : fnum > cur; sign1 = fnum >= cur)
+            bflag = bik != 0
+            sg0 = jnp.where(bflag, sign_bi[slot0k],
+                            sign_uni[slot0k]) != 0
+            predY, predU, predV = gather3(
+                jnp.where(sg0, -mvy0k, mvy0k),
+                jnp.where(sg0, -mvx0k, mvx0k), slot0k)
+            if has_bi:
+                sg1 = sign_bi[slot1k] != 0
+                pY1, pU1, pV1 = gather3(
+                    jnp.where(sg1, -mvy1k, mvy1k),
+                    jnp.where(sg1, -mvx1k, mvx1k), slot1k)
+                bY = _expand_blocks_to_cells(
+                    bik.astype(jnp.int32), HB, WB, s, H, W) != 0
+                bC = _expand_blocks_to_cells(
+                    bik.astype(jnp.int32), HB, WB, sc, Hc, Wc) != 0
+                predY = jnp.where(bY, (predY + pY1) >> 1, predY)
+                predU = jnp.where(bC, (predU + pU1) >> 1, predU)
+                predV = jnp.where(bC, (predV + pV1) >> 1, predV)
 
             def plane_trial(org, pred, b, qp, zz, fast, chroma):
                 ob = _blocks_of(org.astype(jnp.int32), b, HB, WB)
@@ -164,13 +193,13 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool):
                 bits=(jnp.where(cbpy, by, 0) + jnp.where(cbpu, bu, 0)
                       + jnp.where(cbpv, bv, 0)))
 
-        return jax.vmap(one)(mvy, mvx, slot)
+        return jax.vmap(one)(mvy0, mvx0, slot0, mvy1, mvx1, slot1, bi)
 
     return jax.jit(f)
 
 
 @lru_cache(maxsize=None)
-def _final_mc_fn(H: int, W: int):
+def _final_mc_fn(H: int, W: int, has_bi: bool = False):
     """Jitted final reconstruction stage 1: whole-frame MC with the
     decided per-cell MV field + dense per-size residual planes
     (exactly the decoder's math, dec/reconstruct_jax.py).
@@ -204,13 +233,26 @@ def _final_mc_fn(H: int, W: int):
             .reshape(HB * s, WB * s)
         return r.at[:HB * s, :WB * s].add(d)
 
-    def f(phY, phU, phV, mvxc, mvyc, slc, trials, qpY, qpC):
+    def f(phY, phU, phV, mvxc, mvyc, slc, mvx1c, mvy1c, sl1c, bic,
+          trials, qpY, qpC):
         pY = JK.mc_gather_from_phases(phY, mvxc, mvyc, slc, PAD, 2, 4,
                                       H, W, -2)
         pU = JK.mc_gather_from_phases(phU, mvxc, mvyc, slc, PAD_C, 3, 2,
                                       Hc, Wc, -1)
         pV = JK.mc_gather_from_phases(phV, mvxc, mvyc, slc, PAD_C, 3, 2,
                                       Hc, Wc, -1)
+        if has_bi:
+            pY1 = JK.mc_gather_from_phases(phY, mvx1c, mvy1c, sl1c, PAD,
+                                           2, 4, H, W, -2)
+            pU1 = JK.mc_gather_from_phases(phU, mvx1c, mvy1c, sl1c,
+                                           PAD_C, 3, 2, Hc, Wc, -1)
+            pV1 = JK.mc_gather_from_phases(phV, mvx1c, mvy1c, sl1c,
+                                           PAD_C, 3, 2, Hc, Wc, -1)
+            bY = jnp.repeat(jnp.repeat(bic, 4, 0), 4, 1) != 0
+            bC = jnp.repeat(jnp.repeat(bic, 2, 0), 2, 1) != 0
+            pY = jnp.where(bY, (pY + pY1) >> 1, pY)
+            pU = jnp.where(bC, (pU + pU1) >> 1, pU)
+            pV = jnp.where(bC, (pV + pV1) >> 1, pV)
         facY = jnp.left_shift(dq[qpY % 6], qpY // 6)
         facC = jnp.left_shift(dq[qpC % 6], qpC // 6)
         rY = jnp.zeros((H, W), jnp.int32)
@@ -258,6 +300,8 @@ def _quote_super_mode(ectx, binfo, mode, ref_idx0):
             code = 0
         elif mode == MODE_MERGE:
             code = 2
+        elif mode == MODE_BIPRED:
+            code = 3
         elif mode == MODE_INTRA:
             code = 4
         elif mode == MODE_INTER and ref_idx0 > 0:
@@ -279,6 +323,8 @@ def _quote_super_mode(ectx, binfo, mode, ref_idx0):
             code = 2
         elif mode == MODE_MERGE:
             code = 3
+        elif mode == MODE_BIPRED:
+            code = 4
         elif mode == MODE_INTRA:
             code = 5
         else:
@@ -320,16 +366,19 @@ def _skip_idx_bits(nvec, idx):
 
 class _Leaf:
     __slots__ = ("ypos", "xpos", "size", "mode", "mv", "ref", "skip_idx",
-                 "intra_mode", "idx", "use_cbp", "cand", "k")
+                 "intra_mode", "idx", "use_cbp", "cand", "k",
+                 "mv1", "ref1", "dir")
 
     def __init__(self, ypos, xpos, size, mode, mv=(0, 0), ref=0,
-                 skip_idx=0, intra_mode=0, idx=0, use_cbp=False, k=0):
+                 skip_idx=0, intra_mode=0, idx=0, use_cbp=False, k=0,
+                 mv1=(0, 0), ref1=0, dir=0):
         self.ypos, self.xpos, self.size = ypos, xpos, size
         self.mode, self.mv, self.ref = mode, mv, ref
         self.skip_idx, self.intra_mode = skip_idx, intra_mode
         self.idx, self.use_cbp = idx, use_cbp
         self.cand = None
         self.k = k
+        self.mv1, self.ref1, self.dir = mv1, ref1, dir
 
 
 def _decide_frame_native(enc, meas, intra_modes, intra_costs, lam,
@@ -345,6 +394,8 @@ def _decide_frame_native(enc, meas, intra_modes, intra_costs, lam,
         m = meas[s]
         per_size.append({
             'mvx': m['mvx'], 'mvy': m['mvy'], 'slot': m['slot'],
+            'mvx1': m['mvx1'], 'mvy1': m['mvy1'], 'slot1': m['slot1'],
+            'K_uni': m['K_uni'],
             'ssd_coded': m['ssd_coded'], 'ssd_pred': m['ssd_pred'],
             'bits': m['bits'],
             'cbp_y': m['cbp_y'], 'cbp_u': m['cbp_u'],
@@ -353,14 +404,15 @@ def _decide_frame_native(enc, meas, intra_modes, intra_costs, lam,
         })
     recs = decide_frame_native(
         W, H, enc.num_ref, int(p.enable_bipred), int(enc.interp_ref),
-        int(bool(p.use_block_contexts)), float(lam), float(lam_me),
-        per_size)
+        int(bool(p.use_block_contexts)), int(enc.frame_type),
+        float(lam), float(lam_me), per_size)
     leaves = []
     for r in recs:
         lf = _Leaf(r.ypos, r.xpos, r.size, r.mode,
                    mv=(r.mvx, r.mvy), ref=r.ref, skip_idx=r.skip_idx,
                    intra_mode=r.intra_mode, idx=r.idx,
-                   use_cbp=bool(r.use_cbp), k=r.k)
+                   use_cbp=bool(r.use_cbp), k=r.k,
+                   mv1=(r.mv1x, r.mv1y), ref1=r.ref1, dir=r.dir)
         leaves.append(lf)
     return leaves, set()
 
@@ -405,10 +457,25 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
             block_context = binfo_ctx
         skip_cands = get_mv_skip(y0, x0, W, H, s, dd)
         mvp = get_mv_pred(y0, x0, W, H, s, dd)
+        K_uni = m['K_uni']
 
         def variant_of(c):
-            """Measured variant index matching candidate (mv, ref)."""
-            for k in range(K):
+            """Measured variant index matching candidate (mv, ref):
+            uni candidates match uni variants, bi candidates match the
+            bi pairs (both lists)."""
+            if c.bipred_flag == 2:
+                for k in range(K_uni, K):
+                    if (int(m['mvx'][k, idx]) == c.mv0x
+                            and int(m['mvy'][k, idx]) == c.mv0y
+                            and int(m['slot'][k, idx]) == c.ref_idx0
+                            and int(m['mvx1'][k, idx]) == c.mv1x
+                            and int(m['mvy1'][k, idx]) == c.mv1y
+                            and int(m['slot1'][k, idx]) == c.ref_idx1):
+                        return k
+                return -1
+            if c.bipred_flag != 0:
+                return -1
+            for k in range(K_uni):
                 if (int(m['mvx'][k, idx]) == c.mv0x
                         and int(m['mvy'][k, idx]) == c.mv0y
                         and int(m['slot'][k, idx]) == c.ref_idx0):
@@ -421,8 +488,6 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
         sm_skip = _quote_super_mode(enc, _B, MODE_SKIP, 0)
         sm_merge = _quote_super_mode(enc, _B, MODE_MERGE, 0)
         for i, c in enumerate(skip_cands):
-            if c.bipred_flag not in (0,):
-                continue
             k = variant_of(c)
             if k < 0:
                 continue
@@ -431,7 +496,9 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
             if best is None or cost < best[0]:
                 lf = _Leaf(y0, x0, s, MODE_SKIP,
                            mv=(c.mv0x, c.mv0y), ref=c.ref_idx0,
-                           skip_idx=i, idx=idx, k=k)
+                           skip_idx=i, idx=idx, k=k,
+                           mv1=(c.mv1x, c.mv1y), ref1=c.ref_idx1,
+                           dir=c.bipred_flag)
                 lf.cand = c
                 best = (cost, lf)
             # MERGE: same candidate coded with residual
@@ -447,7 +514,9 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
                 if cost < best[0]:
                     lf = _Leaf(y0, x0, s, MODE_MERGE,
                                mv=(c.mv0x, c.mv0y), ref=c.ref_idx0,
-                               skip_idx=i, idx=idx, use_cbp=True, k=k)
+                               skip_idx=i, idx=idx, use_cbp=True, k=k,
+                               mv1=(c.mv1x, c.mv1y), ref1=c.ref_idx1,
+                               dir=c.bipred_flag)
                     lf.cand = c
                     best = (cost, lf)
 
@@ -472,6 +541,46 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
         if best is None or cost < best[0]:
             best = (cost, _Leaf(y0, x0, s, MODE_INTER, mv=mv, ref=ref,
                                 idx=idx, use_cbp=use_cbp, k=0))
+
+        # --- BIPRED at every measured bi pair (ME pair, neighbour
+        # pairs, zero-zero; ref enc/encode_block.c:2379-2427) ---
+        if K_uni < K:
+            smbits = _quote_super_mode(enc, _B, MODE_BIPRED, 0)
+            for k in range(K_uni, K):
+                mv0 = (int(m['mvx'][k, idx]), int(m['mvy'][k, idx]))
+                mv1 = (int(m['mvx1'][k, idx]), int(m['mvy1'][k, idx]))
+                r0 = int(m['slot'][k, idx])
+                r1 = int(m['slot1'][k, idx])
+                mvbits = quote_mv_bits(mv0[1] - mvp[1], mv0[0] - mvp[0])
+                mvp2 = mv0 if enc.frame_type == 2 else mvp
+                mvbits += quote_mv_bits(mv1[1] - mvp2[1],
+                                        mv1[0] - mvp2[0])
+                refbits = 0
+                if enc.frame_type == 1:  # P_FRAME codes the ref pair
+                    if enc.num_ref == 2:
+                        code = 2 * r0 + r1
+                        refbits = 3 if code == 3 else code + 1
+                    else:
+                        refbits = quote_vlc(10, 4 * r0 + r1)
+                cy = int(m['cbp_y'][k, idx])
+                cu = int(m['cbp_u'][k, idx])
+                cv = int(m['cbp_v'][k, idx])
+                hdr = smbits + mvbits + refbits
+                cost_zero = int(m['ssd_pred'][k, idx]) + int(
+                    lam * (hdr + cbp0_bits) + 0.5)
+                cost_coded = int(m['ssd_coded'][k, idx]) + int(
+                    lam * (hdr + int(m['bits'][k, idx])
+                           + _quote_cbp(cy, cu, cv, ctx_cbp0, False))
+                    + 0.5)
+                if (cy or cu or cv) and cost_coded < cost_zero:
+                    cost, use_cbp = cost_coded, True
+                else:
+                    cost, use_cbp = cost_zero, False
+                if cost < best[0]:
+                    best = (cost, _Leaf(y0, x0, s, MODE_BIPRED, mv=mv0,
+                                        ref=r0, mv1=mv1, ref1=r1,
+                                        dir=2, idx=idx,
+                                        use_cbp=use_cbp, k=k))
 
         # --- INTRA ---
         smbits = _quote_super_mode(enc, _B, MODE_INTRA, 0)
@@ -510,6 +619,12 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
             dd.store_block(lf.ypos, lf.xpos, lf.size, lf.size, lf.size,
                            MODE_INTER, plane_cbp(lf), 0, 0, mv0, mv1,
                            lf.ref, 0, 0)
+        elif lf.mode == MODE_BIPRED:
+            mv0 = (lf.mv,) * 4
+            mv1 = (lf.mv1,) * 4
+            dd.store_block(lf.ypos, lf.xpos, lf.size, lf.size, lf.size,
+                           MODE_BIPRED, plane_cbp(lf), 0, 0, mv0, mv1,
+                           lf.ref, lf.ref1, 2)
         else:
             # INTRA normalization: dir=-1, zero MVs, ref 0
             # (enc/encode_block.c:2028, dec read_block rec.dir=-1)
@@ -606,7 +721,8 @@ def _emit_native(enc, w, leaves, meas, coeff_host, intra_q):
               'num_intra_modes': enc.num_intra_modes,
               'max_num_tb_part': 2 if p.enable_tb_split == 1 else 1,
               'max_num_pb_part': 4 if p.enable_pb_split else 1,
-              'max_delta_qp': int(p.max_delta_qp)}
+              'max_delta_qp': int(p.max_delta_qp),
+              'frame_type': int(enc.frame_type)}
     emit_frame_native(w, params, leaves, bank_row, cbp3, banks,
                       enc.deblock_data)
 
@@ -635,11 +751,15 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     fast64 = p.encoder_speed > 0
 
     refs = [enc.get_ref(i) for i in range(R)]
-    # uni-prediction MV sign per reference slot: stream MVs fold
-    # toward future references (B frames); matches the decoder's
-    # reconstruct_np sign = frame_num > current
+    # MV sign per reference slot: stream MVs fold toward future
+    # references (B frames); matches the decoder's reconstruct_np
+    # sign = frame_num > current for uni-prediction and
+    # frame_num >= current for either bipred list (the interp ref has
+    # frame_num == current, so the two differ there).
     sign = np.array([1 if r.frame_num > enc.frame_num else 0
                      for r in refs], np.int32)
+    sign_bi = np.array([1 if r.frame_num >= enc.frame_num else 0
+                        for r in refs], np.int32)
     refY = np.stack([r.y for r in refs])
     refU = np.stack([r.u for r in refs])
     refV = np.stack([r.v for r in refs])
@@ -659,19 +779,32 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     # common/inter_prediction.c:331-348), then zero MV per reference.
     with _t.stage('me'):
         me = DM.me_frame(org_y, refY, phY, lam_me, H, W)
-        if sign.any():
+        if sign.any() or sign_bi.any():
             # ME searches the reference planes directly (visual MVs);
             # convert each block's MV to the stream domain by its
-            # chosen slot's sign
+            # chosen slot's sign (per-ref MVs fold by their own slot's
+            # BIPRED sign - they only feed bipred variants)
             me = {s: (np.where(sign[v[2]] != 0, -v[0], v[0]),
                       np.where(sign[v[2]] != 0, -v[1], v[1]),
-                      v[2], v[3])
+                      v[2], v[3],
+                      np.where(sign_bi[:, None] != 0, -v[4], v[4]),
+                      np.where(sign_bi[:, None] != 0, -v[5], v[5]))
                   for s, v in me.items()}
+    # bipred trials ride along on B frames / bipred-enabled sequences:
+    # the two prediction lists the reference's iterative search uses
+    # (enc/encode_block.c:2115-2170): B frames list0/list1 = refs
+    # (1, 2) with interp-ref else (0, 1); P frames (0, 1).
+    has_bi = bool(p.enable_bipred) and R > 1
+    if has_bi:
+        if enc.frame_type == 2 and enc.interp_ref:  # B + interp
+            bslot0, bslot1 = 1, 2
+        else:
+            bslot0, bslot1 = 0, 1
     meas = {}
     trials_dev = {}
     with _t.stage('trials'):
       for s in SIZES:
-        mvy, mvx, slot, _ = me[s]
+        mvy, mvx, slot = me[s][0], me[s][1], me[s][2]
         HB, WB = H // s, W // s
 
         def neigh(a, di, dj):
@@ -694,19 +827,53 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
             var_y.append(zero)
             var_x.append(zero)
             var_s.append(np.full_like(slot, r))
+        K_uni = len(var_y)
+        var_y1 = [zero] * K_uni
+        var_x1 = [zero] * K_uni
+        var_s1 = [zero] * K_uni
+        var_bi = [zero] * K_uni
+        if has_bi:
+            one = np.ones_like(mvy)
+            ry, rx = me[s][4], me[s][5]
+            # bi pair from the per-ref ME (approximates the converged
+            # iterative 2-list search), its neighbours (skip/merge
+            # candidates propagate decided bi pairs), and zero-zero
+            bpairs = [
+                (ry[bslot0], rx[bslot0], ry[bslot1], rx[bslot1]),
+                (neigh(ry[bslot0], 0, 1), neigh(rx[bslot0], 0, 1),
+                 neigh(ry[bslot1], 0, 1), neigh(rx[bslot1], 0, 1)),
+                (neigh(ry[bslot0], 1, -1), neigh(rx[bslot0], 1, -1),
+                 neigh(ry[bslot1], 1, -1), neigh(rx[bslot1], 1, -1)),
+                (zero, zero, zero, zero),
+            ]
+            for (y0v, x0v, y1v, x1v) in bpairs:
+                var_y.append(y0v)
+                var_x.append(x0v)
+                var_s.append(np.full_like(slot, bslot0))
+                var_y1.append(y1v)
+                var_x1.append(x1v)
+                var_s1.append(np.full_like(slot, bslot1))
+                var_bi.append(one)
         mvyk = np.stack(var_y).astype(np.int32)
         mvxk = np.stack(var_x).astype(np.int32)
         slotk = np.stack(var_s).astype(np.int32)
+        mvy1k = np.stack(var_y1).astype(np.int32)
+        mvx1k = np.stack(var_x1).astype(np.int32)
+        slot1k = np.stack(var_s1).astype(np.int32)
+        bik = np.stack(var_bi).astype(np.int32)
 
         fastY = (s == 64 and fast64) or fast32
-        t = _trial_fn(H, W, s, fastY, fast32)(
+        t = _trial_fn(H, W, s, fastY, fast32, has_bi)(
             jnp.asarray(org_y), jnp.asarray(org_u), jnp.asarray(org_v),
             phY, phU, phV, jnp.asarray(mvyk), jnp.asarray(mvxk),
-            jnp.asarray(slotk), jnp.int32(qpY), jnp.int32(qpC),
-            jnp.asarray(sign))
+            jnp.asarray(slotk), jnp.asarray(mvy1k), jnp.asarray(mvx1k),
+            jnp.asarray(slot1k), jnp.asarray(bik), jnp.int32(qpY),
+            jnp.int32(qpC), jnp.asarray(sign), jnp.asarray(sign_bi))
         trials_dev[s] = t
         meas[s] = {
             'mvy': mvyk, 'mvx': mvxk, 'slot': slotk,
+            'mvy1': mvy1k, 'mvx1': mvx1k, 'slot1': slot1k, 'bi': bik,
+            'K_uni': K_uni,
             'ssd_coded': np.asarray(t['ssd_coded']),
             'ssd_pred': np.asarray(t['ssd_pred']),
             'bits': np.asarray(t['bits']),
@@ -732,6 +899,10 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     mvxc = np.zeros((H4, W4), np.int32)
     mvyc = np.zeros((H4, W4), np.int32)
     slc = np.zeros((H4, W4), np.int32)
+    mvx1c = np.zeros((H4, W4), np.int32)
+    mvy1c = np.zeros((H4, W4), np.int32)
+    sl1c = np.zeros((H4, W4), np.int32)
+    bic = np.zeros((H4, W4), np.int32)
     coded = {s: [] for s in SIZES}
     intra_leaves = []
     for lf in leaves:
@@ -742,6 +913,11 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         mvxc[cy:cy + cs, cx:cx + cs] = lf.mv[0]
         mvyc[cy:cy + cs, cx:cx + cs] = lf.mv[1]
         slc[cy:cy + cs, cx:cx + cs] = lf.ref
+        if lf.dir == 2:
+            mvx1c[cy:cy + cs, cx:cx + cs] = lf.mv1[0]
+            mvy1c[cy:cy + cs, cx:cx + cs] = lf.mv1[1]
+            sl1c[cy:cy + cs, cx:cx + cs] = lf.ref1
+            bic[cy:cy + cs, cx:cx + cs] = 1
         if lf.use_cbp:
             coded[lf.size].append(lf)
 
@@ -764,13 +940,19 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
                    'k': jnp.asarray(ksel), 'm': jnp.asarray(msk)}
 
     with _t.stage('final_mc'):
-        # per-cell stream MVs -> visual MVs (future-ref sign fold)
-        sgc = sign[slc] != 0
-        mvxc_v = np.where(sgc, -mvxc, mvxc)
-        mvyc_v = np.where(sgc, -mvyc, mvyc)
-        y_d, u_d, v_d = _final_mc_fn(H, W)(
+        # per-cell stream MVs -> visual MVs (future-ref sign fold;
+        # bipred cells fold both lists by the bipred sign)
+        sg0 = np.where(bic != 0, sign_bi[slc], sign[slc]) != 0
+        mvxc_v = np.where(sg0, -mvxc, mvxc)
+        mvyc_v = np.where(sg0, -mvyc, mvyc)
+        sg1 = sign_bi[sl1c] != 0
+        mvx1c_v = np.where(sg1, -mvx1c, mvx1c)
+        mvy1c_v = np.where(sg1, -mvy1c, mvy1c)
+        y_d, u_d, v_d = _final_mc_fn(H, W, bool(bic.any()))(
             phY, phU, phV, jnp.asarray(mvxc_v), jnp.asarray(mvyc_v),
-            jnp.asarray(slc), tsel, jnp.int32(qpY), jnp.int32(qpC))
+            jnp.asarray(slc), jnp.asarray(mvx1c_v),
+            jnp.asarray(mvy1c_v), jnp.asarray(sl1c), jnp.asarray(bic),
+            tsel, jnp.int32(qpY), jnp.int32(qpC))
 
     # --- exact intra scan over intra-coded leaves ---
     intra_q = {}
@@ -929,6 +1111,17 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         elif lf.mode == MODE_INTER:
             bp.ref_idx0 = lf.ref
             bp.mv_arr0 = (lf.mv,) * 4
+            bp.pb_part = 0
+            bp.tb_param = 0
+            if lf.use_cbp:
+                attach_coeffs(bp, lf)
+            else:
+                bp.cbp = (0, 0, 0)
+        elif lf.mode == MODE_BIPRED:
+            bp.ref_idx0, bp.ref_idx1 = lf.ref, lf.ref1
+            bp.mv_arr0 = (lf.mv,) * 4
+            bp.mv_arr1 = (lf.mv1,) * 4
+            bp.dir = 2
             bp.pb_part = 0
             bp.tb_param = 0
             if lf.use_cbp:

@@ -303,25 +303,33 @@ def _me_frame_fn(H: int, W: int, R: int):
 
             # predictor-aware pass: re-refine +-2 full-pel with rate
             # against the approximate median predictor, then exact
-            # quarter-pel on the chosen reference. Rate-blind MVs are
-            # noisy in flat regions, which both wastes MV bits and
-            # degrades the chroma prediction riding on the luma MVs.
+            # quarter-pel - per reference, so every ref's best MV is
+            # available (the bipred variants pair per-ref MVs the way
+            # the reference's iterative 2-list search does,
+            # enc/encode_block.c:2047-2200). Rate-blind MVs are noisy
+            # in flat regions, which both wastes MV bits and degrades
+            # the chroma prediction riding on the luma MVs.
             py = 4 * _pred_field(mfy, HB, WB)
             px = 4 * _pred_field(mfx, HB, WB)
-            mfy, mfx, _ = _refine_step_sel(
-                ob0, r0, ty, tx, mfy, mfx, slot, s, 2, lam_me, py, px)
 
             qy_all = jnp.zeros((N,), jnp.int32)
             qx_all = jnp.zeros((N,), jnp.int32)
             qc_all = jnp.full((N,), 1 << 30, jnp.int32)
-            for r in range(R):
+            per_ref = []
+            for r, (m0y, m0x, _) in enumerate(ref_mv):
+                m0y, m0x, _ = _refine_step_sel(
+                    ob0, r0, ty, tx, m0y, m0x,
+                    jnp.full((N,), r, jnp.int32), s, 2, lam_me, py, px)
                 qy, qx, qc = _subpel_step(
-                    ob0, phases[r], ty, tx, mfy, mfx, s, lam_me, py, px)
+                    ob0, phases[r], ty, tx, m0y, m0x, s, lam_me, py, px)
+                per_ref.append((qy, qx))
                 sel = slot == r
                 qy_all = jnp.where(sel, qy, qy_all)
                 qx_all = jnp.where(sel, qx, qx_all)
                 qc_all = jnp.where(sel, qc, qc_all)
-            out[s] = (qy_all, qx_all, slot, qc_all)
+            ref_y = jnp.stack([v[0] for v in per_ref])
+            ref_x = jnp.stack([v[1] for v in per_ref])
+            out[s] = (qy_all, qx_all, slot, qc_all, ref_y, ref_x)
         return out
 
     return jax.jit(f)
@@ -333,7 +341,8 @@ def me_frame(org_y, refpad_stack, phases, lam_me, H, W):
     org_y: [H, W] uint8; refpad_stack: [R, H+2*PAD, W+2*PAD] uint8;
     phases: [R, 16, Hv, Wv] uint8 all-phase planes (uni/bi filter set
     chosen by the caller to match the sequence).
-    Returns {size: (mvy_qpel, mvx_qpel, slot, cost) np arrays}.
+    Returns {size: (mvy_qpel, mvx_qpel, slot, cost, ref_mvy, ref_mvx)}
+    np arrays; ref_mvy/ref_mvx are the per-reference [R, N] best MVs.
     """
     R = refpad_stack.shape[0]
     fn = _me_frame_fn(H, W, R)

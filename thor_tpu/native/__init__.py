@@ -75,7 +75,7 @@ class EmitParamsC(ctypes.Structure):
                 ("W", "H", "num_ref", "enable_bipred", "interp_ref",
                  "use_block_contexts", "num_intra_modes",
                  "max_num_tb_part", "max_num_pb_part",
-                 "max_delta_qp")] \
+                 "max_delta_qp", "frame_type")] \
         + [("bitbuf", ctypes.c_uint32), ("bitrest", ctypes.c_int32)]
 
 
@@ -98,7 +98,8 @@ def emit_frame_native(w, enc_params, leaves, bank_row, cbp3, banks, dd):
     for i, l in enumerate(leaves):
         leaf_arr[i] = LeafC(
             l.ypos, l.xpos, l.size, l.mode, l.mv[0], l.mv[1], l.ref,
-            l.skip_idx, l.intra_mode, 1 if l.use_cbp else 0, l.k, l.idx)
+            l.skip_idx, l.intra_mode, 1 if l.use_cbp else 0, l.k, l.idx,
+            l.mv1[0], l.mv1[1], l.ref1, l.dir)
     keep = []
 
     def i16(a, shape):
@@ -119,7 +120,8 @@ def emit_frame_native(w, enc_params, leaves, bank_row, cbp3, banks, dd):
                       ("W", "H", "num_ref", "enable_bipred",
                        "interp_ref", "use_block_contexts",
                        "num_intra_modes", "max_num_tb_part",
-                       "max_num_pb_part", "max_delta_qp")],
+                       "max_num_pb_part", "max_delta_qp",
+                       "frame_type")],
                     ctypes.c_uint32(w.bitbuf).value, w.bitrest)
     # the dd arrays are int32 C-contiguous numpy planes; fill in place
     ddo = DDOutC(*[getattr(dd, name).ctypes.data_as(i32p)
@@ -142,24 +144,29 @@ class SizeMeasC(ctypes.Structure):
                 ("ssd_coded", i64p), ("ssd_pred", i64p), ("bits", i32p),
                 ("cbp_y", u8p), ("cbp_u", u8p), ("cbp_v", u8p),
                 ("intra_cost", i64p), ("intra_mode", i32p),
+                ("mvx1", i32p), ("mvy1", i32p), ("slot1", i32p),
                 ("K", ctypes.c_int32), ("N", ctypes.c_int32),
-                ("HB", ctypes.c_int32), ("WB", ctypes.c_int32)]
+                ("HB", ctypes.c_int32), ("WB", ctypes.c_int32),
+                ("K_uni", ctypes.c_int32)]
 
 
 class LeafC(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int32) for n in
                 ("ypos", "xpos", "size", "mode", "mvx", "mvy", "ref",
-                 "skip_idx", "intra_mode", "use_cbp", "k", "idx")]
+                 "skip_idx", "intra_mode", "use_cbp", "k", "idx",
+                 "mv1x", "mv1y", "ref1", "dir")]
 
 
 def decide_frame_native(W, H, num_ref, enable_bipred, interp_ref,
-                        use_block_contexts, lam, lam_me, per_size):
+                        use_block_contexts, frame_type, lam, lam_me,
+                        per_size):
     """Run the C decision walk (thor_decide.c).
 
     per_size: list of 4 dicts (sizes 8,16,32,64) with contiguous
-    arrays mvx/mvy/slot (int32 [K,N]), ssd_coded/ssd_pred (int64),
-    bits (int32), cbp_y/u/v (uint8), intra_cost (int64 [HB,WB]),
-    intra_mode (int32). Returns a list of LeafC-like records.
+    arrays mvx/mvy/slot + mvx1/mvy1/slot1 (int32 [K,N]),
+    ssd_coded/ssd_pred (int64), bits (int32), cbp_y/u/v (uint8),
+    intra_cost (int64 [HB,WB]), intra_mode (int32), K_uni (int;
+    variants beyond it are bipred pairs). Returns LeafC records.
     """
     meas = (SizeMeasC * 4)()
     keep = []
@@ -172,6 +179,9 @@ def decide_frame_native(W, H, num_ref, enable_bipred, interp_ref,
         m.mvx = _i32(arr("mvx", np.int32))
         m.mvy = _i32(arr("mvy", np.int32))
         m.slot = _i32(arr("slot", np.int32))
+        m.mvx1 = _i32(arr("mvx1", np.int32))
+        m.mvy1 = _i32(arr("mvy1", np.int32))
+        m.slot1 = _i32(arr("slot1", np.int32))
         m.ssd_coded = arr("ssd_coded", np.int64).ctypes.data_as(i64p)
         m.ssd_pred = arr("ssd_pred", np.int64).ctypes.data_as(i64p)
         m.bits = _i32(arr("bits", np.int32))
@@ -184,13 +194,14 @@ def decide_frame_native(W, H, num_ref, enable_bipred, interp_ref,
         m.N = int(np.asarray(d["mvx"]).shape[1])
         m.HB = int(np.asarray(d["intra_cost"]).shape[0])
         m.WB = int(np.asarray(d["intra_cost"]).shape[1])
+        m.K_uni = int(d["K_uni"])
     maxl = (W // 8) * (H // 8 + 8)
     leaves = (LeafC * maxl)()
     n = lib().thor_decide_frame(
         ctypes.c_int(W), ctypes.c_int(H), ctypes.c_int(num_ref),
         ctypes.c_int(enable_bipred), ctypes.c_int(interp_ref),
-        ctypes.c_int(use_block_contexts), ctypes.c_double(lam),
-        ctypes.c_double(lam_me), meas, leaves)
+        ctypes.c_int(use_block_contexts), ctypes.c_int(frame_type),
+        ctypes.c_double(lam), ctypes.c_double(lam_me), meas, leaves)
     return leaves[:n]
 
 

@@ -36,13 +36,16 @@ typedef struct {
     const uint8_t *cbp_y, *cbp_u, *cbp_v;  /* [K, N] */
     const int64_t *intra_cost;             /* [HB, WB] */
     const int32_t *intra_mode;             /* [HB, WB] */
+    const int32_t *mvx1, *mvy1, *slot1;    /* [K, N] second list */
     int32_t K, N, HB, WB;
+    int32_t K_uni;         /* variants [K_uni, K) are bipred pairs */
 } SizeMeas;
 
 typedef struct {
     int32_t ypos, xpos, size, mode;
     int32_t mvx, mvy, ref;
     int32_t skip_idx, intra_mode, use_cbp, k, idx;
+    int32_t mv1x, mv1y, ref1, dir;
 } LeafOut;
 
 /* ------------------------------------------------------------------ */
@@ -333,6 +336,7 @@ static int quote_super_mode(int size, BlockCtx bc, int num_ref,
 
 typedef struct {
     int W, H, num_ref, enable_bipred, interp_ref, use_block_contexts;
+    int frame_type;        /* 0 I, 1 P, 2 B (BIPRED mv/ref coding) */
     double lam, lam_me;
     SizeMeas meas[4];      /* sizes 8, 16, 32, 64 */
     DDm dd;
@@ -370,17 +374,30 @@ static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
     int sm_merge = quote_super_mode(s, bc, w->num_ref, w->enable_bipred,
                                     w->interp_ref, MODE_MERGE, 0);
 
+    int K_uni = m->K_uni > 0 ? m->K_uni : K;
     for (int ci = 0; ci < ncand; ci++) {
         InterPredC *c = &cands[ci];
-        if (c->bipred_flag != 0)
-            continue;
         int k = -1;
-        for (int kk = 0; kk < K; kk++) {
-            if (m->mvx[kk * N + idx] == c->mv0x
-                && m->mvy[kk * N + idx] == c->mv0y
-                && m->slot[kk * N + idx] == c->ref_idx0) {
-                k = kk;
-                break;
+        if (c->bipred_flag == 2) {
+            for (int kk = K_uni; kk < K; kk++) {
+                if (m->mvx[kk * N + idx] == c->mv0x
+                    && m->mvy[kk * N + idx] == c->mv0y
+                    && m->slot[kk * N + idx] == c->ref_idx0
+                    && m->mvx1[kk * N + idx] == c->mv1x
+                    && m->mvy1[kk * N + idx] == c->mv1y
+                    && m->slot1[kk * N + idx] == c->ref_idx1) {
+                    k = kk;
+                    break;
+                }
+            }
+        } else if (c->bipred_flag == 0) {
+            for (int kk = 0; kk < K_uni; kk++) {
+                if (m->mvx[kk * N + idx] == c->mv0x
+                    && m->mvy[kk * N + idx] == c->mv0y
+                    && m->slot[kk * N + idx] == c->ref_idx0) {
+                    k = kk;
+                    break;
+                }
             }
         }
         if (k < 0)
@@ -396,6 +413,8 @@ static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
                 best.mode = MODE_SKIP;
                 best.mvx = c->mv0x; best.mvy = c->mv0y;
                 best.ref = c->ref_idx0;
+                best.mv1x = c->mv1x; best.mv1y = c->mv1y;
+                best.ref1 = c->ref_idx1; best.dir = c->bipred_flag;
                 best.skip_idx = ci; best.idx = idx; best.k = k;
             }
         }
@@ -415,6 +434,8 @@ static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
                 best.mode = MODE_MERGE;
                 best.mvx = c->mv0x; best.mvy = c->mv0y;
                 best.ref = c->ref_idx0;
+                best.mv1x = c->mv1x; best.mv1y = c->mv1y;
+                best.ref1 = c->ref_idx1; best.dir = c->bipred_flag;
                 best.skip_idx = ci; best.idx = idx; best.use_cbp = 1;
                 best.k = k;
             }
@@ -453,6 +474,60 @@ static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
         }
     }
 
+    /* BIPRED at every measured bi pair (device_inter.leaf_candidates;
+       ref enc/encode_block.c:2379-2427) */
+    if (K_uni < K) {
+        int smbits = quote_super_mode(s, bc, w->num_ref,
+                                      w->enable_bipred, w->interp_ref,
+                                      MODE_BIPRED, 0);
+        int ctx_cbp0_bits = quote_cbp(0, 0, 0, ctx_cbp0, 0);
+        for (int k = K_uni; k < K; k++) {
+            int mv0x = m->mvx[k * N + idx], mv0y = m->mvy[k * N + idx];
+            int mv1x = m->mvx1[k * N + idx], mv1y = m->mvy1[k * N + idx];
+            int r0 = m->slot[k * N + idx], r1 = m->slot1[k * N + idx];
+            int mvbits = quote_mv_bits(mv0y - mvpy, mv0x - mvpx);
+            int p2x = w->frame_type == 2 ? mv0x : mvpx;
+            int p2y = w->frame_type == 2 ? mv0y : mvpy;
+            mvbits += quote_mv_bits(mv1y - p2y, mv1x - p2x);
+            int refbits = 0;
+            if (w->frame_type == 1) {
+                if (w->num_ref == 2) {
+                    int code = 2 * r0 + r1;
+                    refbits = code == 3 ? 3 : code + 1;
+                } else {
+                    refbits = quote_vlc10(4 * r0 + r1);
+                }
+            }
+            int cy = m->cbp_y[k * N + idx];
+            int cu = m->cbp_u[k * N + idx];
+            int cv = m->cbp_v[k * N + idx];
+            int hdr = smbits + mvbits + refbits;
+            int64_t cost_zero = m->ssd_pred[k * N + idx]
+                + (int64_t)(w->lam * (hdr + ctx_cbp0_bits) + 0.5);
+            int64_t cost_coded = m->ssd_coded[k * N + idx]
+                + (int64_t)(w->lam * (hdr + m->bits[k * N + idx]
+                                      + quote_cbp(cy, cu, cv, ctx_cbp0,
+                                                  0)) + 0.5);
+            int64_t cost;
+            int use_cbp;
+            if ((cy || cu || cv) && cost_coded < cost_zero) {
+                cost = cost_coded; use_cbp = 1;
+            } else {
+                cost = cost_zero; use_cbp = 0;
+            }
+            if (cost < best_cost) {
+                best_cost = cost;
+                memset(&best, 0, sizeof(best));
+                best.ypos = y0; best.xpos = x0; best.size = s;
+                best.mode = MODE_BIPRED;
+                best.mvx = mv0x; best.mvy = mv0y; best.ref = r0;
+                best.mv1x = mv1x; best.mv1y = mv1y; best.ref1 = r1;
+                best.dir = 2;
+                best.idx = idx; best.use_cbp = use_cbp; best.k = k;
+            }
+        }
+    }
+
     /* INTRA */
     {
         int smbits = quote_super_mode(s, bc, w->num_ref, w->enable_bipred,
@@ -484,13 +559,16 @@ static void store_leaf(Walk *w, const LeafOut *lf)
         cv = m->cbp_v[lf->k * N + lf->idx];
     }
     if (lf->mode == MODE_SKIP || lf->mode == MODE_MERGE) {
-        /* skip/merge candidates with bipred_flag != 0 were filtered,
-           so mv1/ref1 carry the candidate's (uni L0) values */
         dd_store(&w->dd, lf->ypos, lf->xpos, lf->size, lf->mode,
-                 cy, cu, cv, lf->mvx, lf->mvy, 0, 0, lf->ref, 0, 0);
+                 cy, cu, cv, lf->mvx, lf->mvy, lf->mv1x, lf->mv1y,
+                 lf->ref, lf->ref1, lf->dir);
     } else if (lf->mode == MODE_INTER) {
         dd_store(&w->dd, lf->ypos, lf->xpos, lf->size, MODE_INTER,
                  cy, cu, cv, lf->mvx, lf->mvy, 0, 0, lf->ref, 0, 0);
+    } else if (lf->mode == MODE_BIPRED) {
+        dd_store(&w->dd, lf->ypos, lf->xpos, lf->size, MODE_BIPRED,
+                 cy, cu, cv, lf->mvx, lf->mvy, lf->mv1x, lf->mv1y,
+                 lf->ref, lf->ref1, 2);
     } else {
         dd_store(&w->dd, lf->ypos, lf->xpos, lf->size, MODE_INTRA,
                  1, 1, 1, 0, 0, 0, 0, 0, 0, -1);
@@ -541,7 +619,7 @@ static int64_t rec(Walk *w, int s, int y0, int x0)
  * leaves_out must hold (W/8)*(H/8 + 8) entries. Returns leaf count. */
 int thor_decide_frame(
     int W, int H, int num_ref, int enable_bipred, int interp_ref,
-    int use_block_contexts, double lam, double lam_me,
+    int use_block_contexts, int frame_type, double lam, double lam_me,
     const SizeMeas *meas4, LeafOut *leaves_out)
 {
     Walk w;
@@ -550,6 +628,7 @@ int thor_decide_frame(
     w.num_ref = num_ref;
     w.enable_bipred = enable_bipred;
     w.interp_ref = interp_ref;
+    w.frame_type = frame_type;
     w.use_block_contexts = use_block_contexts;
     w.lam = lam; w.lam_me = lam_me;
     for (int i = 0; i < 4; i++)
@@ -585,7 +664,8 @@ int thor_decide_frame(
 /* Syntax emission for the device P-frame path - native twin of
  * device_inter.py's emit loop + enc/syntax.py's writers
  * (enc/write_bits.c:268-650, enc/putbits.c, enc/putvlc.c:34-131).
- * Restricted toolset: PART_NONE, tb_param 0, no bipred, no delta-QP.  */
+ * Restricted toolset: PART_NONE, tb_param 0, dqp always 0; modes
+ * SKIP/MERGE (uni or bi candidates), INTER, BIPRED, INTRA.           */
 
 static const int zigzag16[16] = {
     0, 1, 5, 6, 2, 4, 7, 12, 3, 8, 11, 13, 9, 10, 14, 15};
@@ -851,7 +931,7 @@ typedef struct {
 typedef struct {
     int32_t W, H, num_ref, enable_bipred, interp_ref, use_block_contexts;
     int32_t num_intra_modes, max_num_tb_part, max_num_pb_part;
-    int32_t max_delta_qp;
+    int32_t max_delta_qp, frame_type;
     uint32_t bitbuf;
     int32_t bitrest;
 } EmitParams;
@@ -916,6 +996,8 @@ static void emit_cbp_and_coeffs(Emit *e, const LeafOut *lf, int cy,
                                 int cu, int cv, int merge, BlockCtx bc,
                                 const BankC *bank, int row, int intra)
 {
+    /* merge: 0 normal, 1 MERGE (tb1 + merge cbp remap),
+       2 BIPRED (tb1, normal cbp remap) */
     BW *w = &e->w;
     int size = lf->size;
     int coeff_type = (intra ? 1 : 0) << 1;
@@ -929,7 +1011,7 @@ static void emit_cbp_and_coeffs(Emit *e, const LeafOut *lf, int cy,
     if (max_tb > 1) {
         if (bc.cbp == 0 && code < 2) code = 1 - code;
         if (code > 1) code += 1;
-    } else if (merge) {
+    } else if (merge == 1) {
         if (code == 1) code = 7;
         else if (code > 1) code = code - 1;
     } else {
@@ -1033,6 +1115,37 @@ static void emit_rec(Emit *e, int s, int y0, int x0)
                   lf->use_cbp ? cu : 0, lf->use_cbp ? cv : 0,
                   c->mv0x, c->mv0y, c->mv1x, c->mv1y,
                   c->ref_idx0, c->ref_idx1, c->bipred_flag);
+        return;
+    }
+
+    if (lf->mode == MODE_BIPRED) {
+        /* BIPRED_PART=0: no pb-part signal; mv1 is predicted from mv0
+           on B frames, from mvp on P frames which also code the ref
+           pair (enc/write_bits.c:452-476) */
+        write_mv_c(&e->w, lf->mvx, lf->mvy, mvpx, mvpy);
+        if (p->frame_type == 2)
+            write_mv_c(&e->w, lf->mv1x, lf->mv1y, lf->mvx, lf->mvy);
+        else
+            write_mv_c(&e->w, lf->mv1x, lf->mv1y, mvpx, mvpy);
+        if (p->frame_type == 1) {
+            if (p->num_ref == 2) {
+                int code = 2 * lf->ref + lf->ref1;
+                if (code == 3) bw_put(&e->w, 3, 0);
+                else bw_put(&e->w, code + 1, 1);
+            } else {
+                put_vlc_c(10, 4 * lf->ref + lf->ref1, &e->w);
+            }
+        }
+        if (lf->use_cbp)
+            emit_cbp_and_coeffs(e, lf, cy, cu, cv, 2, bc,
+                                &e->banks[size_slot(s)], row, 0);
+        else
+            emit_cbp_and_coeffs(e, lf, 0, 0, 0, 2, bc,
+                                &e->banks[size_slot(s)], row, 0);
+        ddo_store(e, y0, x0, s, MODE_BIPRED, lf->use_cbp ? cy : 0,
+                  lf->use_cbp ? cu : 0, lf->use_cbp ? cv : 0,
+                  lf->mvx, lf->mvy, lf->mv1x, lf->mv1y,
+                  lf->ref, lf->ref1, 2);
         return;
     }
 
