@@ -35,12 +35,13 @@ def test_deblock_parity():
     keys = ("size", "tb_split", "pb_part", "mode", "cbp_y",
             "mv0x", "mv0y", "mv1x", "mv1y")
     fl = jax.jit(lambda r, d: JK.deblock_luma(
-        r, d, H, W, np.int32(BETA_TABLE[QP]), np.int32(TC_TABLE[QP])))
+        r, JK.unpack_ddp(d), H, W, np.int32(BETA_TABLE[QP]),
+        np.int32(TC_TABLE[QP])))
     fc = jax.jit(lambda r, d: JK.deblock_chroma(
-        r, d, H, W, np.int32(TC_TABLE[CHROMA_QP[QP]])))
+        r, JK.unpack_ddp(d), H, W, np.int32(TC_TABLE[CHROMA_QP[QP]])))
     for _ in range(3):
         dd = _rand_dd(rng)
-        dd_dict = {k: getattr(dd, k) for k in keys}
+        dd_dict = JK.pack_ddp({k: getattr(dd, k) for k in keys})
         rec = rng.randint(0, 256, (H, W)).astype(np.uint8)
         a = rec.copy()
         NK.deblock_frame_y(a, dd, W, H, QP, BETA_TABLE, TC_TABLE)

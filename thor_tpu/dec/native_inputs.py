@@ -406,14 +406,15 @@ def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
             inp["tuc"], SIZES_C)
 
     if deblocking:
-        # Downcast the per-cell side-info before the host->device copy:
-        # 9 x [H/4, W/4] int32 is ~4.7 MB/frame at 1080p and the
-        # device link (tunnel) is the decode bottleneck. The filter jit
-        # upcasts back to int32 on device.
-        inp["dd"] = {
-            k: dd[k].astype(np.int16 if k.startswith("mv") else np.uint8)
-            for k in ("size", "tb_split", "pb_part", "mode", "cbp_y",
-                      "mv0x", "mv0y", "mv1x", "mv1y")}
+        # Pack the 9 per-cell side-info planes into ONE uint8 plane
+        # before the host->device copy: 9 x [H/4, W/4] int32 is
+        # ~4.7 MB/frame at 1080p and the device link (tunnel) is the
+        # decode bottleneck. The filter jit unpacks on device.
+        from ..ops.jax_kernels import pack_ddp
+        inp["ddp"] = pack_ddp(
+            {k: dd[k] for k in ("size", "tb_split", "pb_part", "mode",
+                                "cbp_y", "mv0x", "mv0y", "mv1x",
+                                "mv1y")})
         inp["beta"] = np.int32(BETA_TABLE[fh.qp])
         inp["tc"] = np.int32(TC_TABLE[fh.qp])
         inp["tcC"] = np.int32(TC_TABLE[CHROMA_QP[fh.qp]])

@@ -265,9 +265,10 @@ def build_frame_inputs(fs: FrameSyntax, refs, interp_frame, W, H, seq,
     inp['tuc'], n_ic = _pack_intra(itc)
 
     if deblocking:
-        inp['dd'] = {k: getattr(dd, k).astype(np.int32) for k in
-                     ('size', 'tb_split', 'pb_part', 'mode',
-                      'cbp_y', 'mv0x', 'mv0y', 'mv1x', 'mv1y')}
+        inp['ddp'] = JK.pack_ddp({k: getattr(dd, k) for k in
+                                  ('size', 'tb_split', 'pb_part',
+                                   'mode', 'cbp_y', 'mv0x', 'mv0y',
+                                   'mv1x', 'mv1y')})
         inp['beta'] = np.int32(BETA_TABLE[fs.qp])
         inp['tc'] = np.int32(TC_TABLE[fs.qp])
         inp['tcC'] = np.int32(TC_TABLE[CHROMA_QP[fs.qp]])
@@ -342,7 +343,7 @@ def _frame_fn(cfg: FrameConfig, inp):
 
     # --- in-loop filters ---
     if cfg.deblocking:
-        dd = inp['dd']
+        dd = JK.unpack_ddp(inp['ddp'])
         y = JK.deblock_luma(y, dd, H, W, inp['beta'], inp['tc'])
         u = JK.deblock_chroma(u, dd, H, W, inp['tcC'])
         v = JK.deblock_chroma(v, dd, H, W, inp['tcC'])
@@ -497,10 +498,10 @@ def _jit_intra_c(H: int, W: int):
     return jax.jit(f)
 
 
-def _filters_body(H, W, deblocking, clpf, y, u, v, dd, beta, tc, tcC,
+def _filters_body(H, W, deblocking, clpf, y, u, v, ddp, beta, tc, tcC,
                   m8y, m8u, m8v):
     if deblocking:
-        dd = {k: a.astype(jnp.int32) for k, a in dd.items()}
+        dd = JK.unpack_ddp(ddp)
         y = JK.deblock_luma(y, dd, H, W, beta, tc)
         u = JK.deblock_chroma(u, dd, H, W, tcC)
         v = JK.deblock_chroma(v, dd, H, W, tcC)
@@ -570,8 +571,9 @@ def _staged_frame(cfg: FrameConfig, inp):
                                       JK.schedule_wavefront(inp['tuc']))
     zero = np.int32(0)
     zmask = np.zeros((1, 1), bool)
+    zddp = np.zeros((1, 1), np.uint8)
     return _jit_filters(H, W, cfg.deblocking, cfg.clpf)(
-        y, u, v, inp.get('dd', {}), inp.get('beta', zero),
+        y, u, v, inp.get('ddp', zddp), inp.get('beta', zero),
         inp.get('tc', zero), inp.get('tcC', zero),
         inp.get('m8y', zmask), inp.get('m8u', zmask),
         inp.get('m8v', zmask))
@@ -669,9 +671,10 @@ def _jit_fused(cfg: FrameConfig, pmc: bool, pit_y: bool, pit_c: bool,
                 v = P[1, JK.PADI:JK.PADI + Hc, JK.PADI:JK.PADI + Wc]
         zero = np.int32(0)
         zmask = np.zeros((1, 1), bool)
+        zddp = np.zeros((1, 1), np.uint8)
         return _filters_body(
             H, W, cfg.deblocking, cfg.clpf, y, u, v,
-            inp.get('dd', {}), inp.get('beta', zero),
+            inp.get('ddp', zddp), inp.get('beta', zero),
             inp.get('tc', zero), inp.get('tcC', zero),
             inp.get('m8y', zmask), inp.get('m8u', zmask),
             inp.get('m8v', zmask))
@@ -709,7 +712,7 @@ def _fused_frame(cfg: FrameConfig, inp):
             keys += ['it_recs_c', 'it_cnt_c']
         else:
             used['waves_c'] = JK.schedule_wavefront(inp['tuc'])
-    keys += [k for k in ('dd', 'beta', 'tc', 'tcC', 'm8y', 'm8u', 'm8v')
+    keys += [k for k in ('ddp', 'beta', 'tc', 'tcC', 'm8y', 'm8u', 'm8v')
              if k in inp]
     used.update({k: inp[k] for k in keys})
     return _jit_fused(cfg, pmc, pit_y, pit_c, interpret)(used)

@@ -306,6 +306,40 @@ def _shifted(a, k, axis):
     return jnp.roll(a, -k, axis=axis)
 
 
+def pack_ddp(dd):
+    """Pack the 9 per-cell int side-info planes the deblock reads into
+    ONE uint8 plane for the host->device copy (the filters only need
+    these bits): bit0 intra(mode==1), bit1 cbp_y>0, bit2 any |mv|>=4,
+    bit3 tb_split>0, bits4-5 log2(size)-3, bits6-7 pb_part. Host-side
+    numpy; the device twin is unpack_ddp."""
+    import numpy as np
+    big = ((np.abs(dd["mv0x"]) >= 4) | (np.abs(dd["mv0y"]) >= 4)
+           | (np.abs(dd["mv1x"]) >= 4) | (np.abs(dd["mv1y"]) >= 4))
+    size = np.asarray(dd["size"])
+    slog = ((size == 16) * 1 + (size == 32) * 2
+            + (size == 64) * 3).astype(np.uint8)
+    return ((np.asarray(dd["mode"]) == 1).astype(np.uint8)
+            | ((np.asarray(dd["cbp_y"]) > 0).astype(np.uint8) << 1)
+            | (big.astype(np.uint8) << 2)
+            | ((np.asarray(dd["tb_split"]) > 0).astype(np.uint8) << 3)
+            | (slog << 4)
+            | ((np.asarray(dd["pb_part"]).astype(np.uint8) & 3) << 6))
+
+
+def unpack_ddp(ddp):
+    """Device-side unpack of pack_ddp's byte plane into the fields the
+    deblock passes read."""
+    d = ddp.astype(jnp.int32)
+    return {
+        'mode': d & 1,            # 1 = intra
+        'cbp_y': (d >> 1) & 1,
+        'bigmv': (d >> 2) & 1,
+        'tb_split': (d >> 3) & 1,
+        'size': 8 << ((d >> 4) & 3),
+        'pb_part': (d >> 6) & 3,
+    }
+
+
 def _deblock_luma_dir(rec, dd, H, W, beta, tc, axis):
     """One luma deblock pass (axis=1: vertical edges at columns 8k;
     axis=0: horizontal edges at rows 8k) as a single dense shift-select
@@ -333,10 +367,7 @@ def _deblock_luma_dir(rec, dd, H, W, beta, tc, axis):
 
     # side-info condition on the 4-px cell grid; q-cell at even cells
     # along the pass axis, p-cell one cell before it
-    def big(a):
-        return jnp.abs(a) >= 4
-    mvq = (big(dd['mv0x']) | big(dd['mv0y'])
-           | big(dd['mv1x']) | big(dd['mv1y']))
+    mvq = dd['bigmv'] != 0
     cbpq = dd['cbp_y'] > 0
     intq = dd['mode'] == 1
     mv = mvq | _shifted(mvq, -1, axis)

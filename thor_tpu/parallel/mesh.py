@@ -77,11 +77,9 @@ def _input_specs(cfg: FrameConfig, binp):
     per-pixel/cell planes; references + TU batches replicated in 'tile'."""
     specs = {}
     row_sharded = {"mv0x", "mv0y", "mv1x", "mv1y", "slot0", "slot1",
-                   "use_bi", "m8y", "m8u", "m8v"}
+                   "use_bi", "m8y", "m8u", "m8v", "ddp"}
     for k, v in binp.items():
-        if k == "dd":
-            specs[k] = {kk: P("gop", "tile", None) for kk in v}
-        elif isinstance(v, dict):
+        if isinstance(v, dict):
             specs[k] = {kk: P("gop") for kk in v}
         elif k in row_sharded:
             specs[k] = P("gop", "tile", None)

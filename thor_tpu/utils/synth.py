@@ -105,7 +105,8 @@ def build_synthetic_frame(W, H, R=2, qp=32, seed=7, coded_fraction=0.25):
     dd['mv0y'] = inp['mv0y']
     dd['mv1x'] = inp['mv1x']
     dd['mv1y'] = inp['mv1y']
-    inp['dd'] = dd
+    from ..ops.jax_kernels import pack_ddp
+    inp['ddp'] = pack_ddp(dd)
     inp['beta'] = np.int32(BETA_TABLE[qp])
     inp['tc'] = np.int32(TC_TABLE[qp])
     inp['tcC'] = np.int32(TC_TABLE[qpc])
