@@ -46,6 +46,53 @@ class _DeviceRef:
         self.v = _edge_pad(v, 48)
 
 
+class _PackedFetch:
+    """One device->host fetch shared by the three plane views of a
+    frame. The tunnel link pays ~80 ms RTT per blocking transfer, so
+    the fused program emits a single [3H/2, W] uint8 plane (Y on top,
+    U|V below) and every plane view materializes from that one copy."""
+
+    __slots__ = ("packed", "host")
+
+    def __init__(self, packed):
+        self.packed = packed
+        self.host = None
+
+    def start(self):
+        if hasattr(self.packed, "copy_to_host_async"):
+            self.packed.copy_to_host_async()
+
+    def get(self):
+        if self.host is None:
+            self.host = np.asarray(self.packed)
+            self.packed = None
+        return self.host
+
+
+class _PlaneView:
+    """Duck-types the jax.Array surface decode_stream/np consumers use
+    (__array__ / copy_to_host_async) while deferring to the shared
+    packed fetch."""
+
+    __slots__ = ("fetch", "plane", "H", "W")
+
+    def __init__(self, fetch, plane, H, W):
+        self.fetch = fetch
+        self.plane = plane
+        self.H = H
+        self.W = W
+
+    def copy_to_host_async(self):
+        self.fetch.start()
+
+    def __array__(self, dtype=None, copy=None):
+        h = self.fetch.get()
+        H, W = self.H, self.W
+        a = (h[:H] if self.plane == 0 else
+             h[H:, :W // 2] if self.plane == 1 else h[H:, W // 2:])
+        return a.astype(dtype) if dtype is not None else a
+
+
 class Decoder:
     def __init__(self, backend: str = "numpy", collect_stats: bool = False,
                  parse: str = "native"):
@@ -206,10 +253,18 @@ class Decoder:
             self.interp_frame = RefFrame(y, u, v, dfn)
         cfg, inp = build_frame_inputs_native(
             nf, seq, self.refs, self.interp_frame, seq.deblocking)
-        yd, ud, vd = _run_frame(cfg, inp)
-        for a in (yd, ud, vd):
-            if hasattr(a, "copy_to_host_async"):
-                a.copy_to_host_async()
+        yd, ud, vd, packed = _run_frame(cfg, inp)
+        if packed is not None:
+            fetch = _PackedFetch(packed)
+            W, H = seq.width, seq.height
+            yout = _PlaneView(fetch, 0, H, W)
+            uout = _PlaneView(fetch, 1, H, W)
+            vout = _PlaneView(fetch, 2, H, W)
+        else:
+            yout, uout, vout = yd, ud, vd
+            for a in (yd, ud, vd):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
         if self.stats is not None:
             ft = {0: "I", 1: "P", 2: "B"}[fh.stat_frame_type]
             st = self.stats
@@ -223,7 +278,7 @@ class Decoder:
                     st["size"].get((ft, int(sz)), 0) + int(c)
         self.refs = [_DeviceRef(yd, ud, vd, fh.display_frame_num)] \
             + self.refs[:-1]
-        return yd, ud, vd, fh.display_frame_num
+        return yout, uout, vout, fh.display_frame_num
 
     def _make_interp_frame(self, fs):
         """Re-synthesize the interpolated reference

@@ -148,6 +148,114 @@ def _emit_plane_tus(g, coeff_buf, offs, sizes, ys, xs, qps, tb, nz_ok,
                       s2.bit_length() - 1, pl)
 
 
+def _emit_sparse_tus(acc, coeff_buf, offs, sizes, ys, xs, qps, tb,
+                     nz_ok, plane_id=None):
+    """Sparse TU emission: nonzero coefficients straight from the
+    parser's compact per-block slab buffer, fully vectorized - no dense
+    [N, s, s] slab gather (that gather was ~60% of the host build time
+    and its padded banks ~50% of the h2d bytes).
+
+    acc: dict final-group-size -> accumulator (see _pack_sparse).
+    Layout contract with thor_entropy.c: every block reserves a
+    size*size raster slab at offs[i] (quadrants of a tb-split block
+    occupy the spatial quadrants of the slab; a ntb 64-block codes only
+    its top-left 32x32)."""
+    sel = np.nonzero(nz_ok)[0]
+    if not len(sel):
+        return
+    co = offs[sel]
+    bs = sizes[sel].astype(np.int64)
+    end = int(co[-1] + bs[-1] * bs[-1])
+    nz = np.flatnonzero(coeff_buf[:end])
+    if not len(nz):
+        return
+    j = np.searchsorted(co, nz, side='right') - 1
+    o = nz - co[j]
+    s = bs[j]
+    r = (o // s).astype(np.int64)
+    c = (o % s).astype(np.int64)
+    v = coeff_buf[nz].astype(np.int32)
+    is_tb = tb[sel][j]
+    s2 = s >> 1
+    subk = np.where(is_tb, (r >= s2) * 2 + (c >= s2), 0)
+    rl = np.where(is_tb, r % s2, r)
+    cl = np.where(is_tb, c % s2, c)
+    # final group: tb quadrants land in the s/2 group; ntb 64-blocks
+    # keep their own group (32x32 bank, tr_log2 6)
+    gkey = np.where(is_tb, s2, s)
+    keep = (rl < 32) & (cl < 32)     # ntb-64 codes only the TL 32x32
+    for g in np.unique(gkey):
+        m = keep & (gkey == g)
+        if not m.any():
+            continue
+        key = j[m] * 4 + subk[m]
+        uk, inv = np.unique(key, return_inverse=True)
+        ju = uk >> 2
+        ku = uk & 3
+        su = bs[ju]
+        s2u = su >> 1
+        tbu = tb[sel][ju]
+        gy = ys[sel][ju] + np.where(tbu, (ku >> 1) * s2u, 0)
+        gx = xs[sel][ju] + np.where(tbu, (ku & 1) * s2u, 0)
+        tl = np.where(tbu, np.log2(s2u),
+                      np.where(su == 64, 6, np.log2(su))).astype(np.int32)
+        a = acc.setdefault(int(g), {
+            'n': 0, 'ys': [], 'xs': [], 'qp': [], 'tl': [], 'pl': [],
+            'sl': [], 'rl': [], 'cl': [], 'vv': []})
+        a['ys'].append(gy.astype(np.int32))
+        a['xs'].append(gx.astype(np.int32))
+        a['qp'].append(qps[sel][ju].astype(np.int32))
+        a['tl'].append(tl)
+        if plane_id is not None:
+            a['pl'].append(np.full(len(uk), plane_id, np.int32))
+        a['sl'].append(inv.astype(np.int64) + a['n'])
+        a['rl'].append(rl[m])
+        a['cl'].append(cl[m])
+        a['vv'].append(v[m])
+        a['n'] += len(uk)
+
+
+def _pack_sparse(a, g, with_pl):
+    """Accumulator -> the fused path's sparse group dict
+    ({cidx, cval, y, x, f, a, sh[, pl]}, npad)."""
+    cs = 32 if g == 64 else g
+    n = a['n'] if a else 0
+    npad = _pow2pad(max(n, 1))
+    ys = np.zeros(npad, np.int32)
+    xs = np.zeros(npad, np.int32)
+    qp = np.zeros(npad, np.int32)
+    tl = np.full(npad, 3, np.int32)
+    pl = np.zeros(npad, np.int32)
+    if n:
+        ys[:n] = np.concatenate(a['ys'])
+        xs[:n] = np.concatenate(a['xs'])
+        qp[:n] = np.concatenate(a['qp'])
+        tl[:n] = np.concatenate(a['tl'])
+        if with_pl and a['pl']:
+            pl[:n] = np.concatenate(a['pl'])
+        sl = np.concatenate(a['sl'])
+        rr = np.concatenate(a['rl'])
+        cc = np.concatenate(a['cl'])
+        vv = np.concatenate(a['vv'])
+        lin = (sl * cs * cs + rr * cs + cc).astype(np.int32)
+    else:
+        lin = np.zeros(0, np.int32)
+        vv = np.zeros(0, np.int32)
+    K = max(64, 1 << int(np.ceil(np.log2(max(1, len(lin))))))
+    cidx = np.zeros(K, np.int32)
+    cval = np.zeros(K, np.int32)
+    cidx[:len(lin)] = lin
+    cval[:len(lin)] = vv
+    fac, add, rsh = _dq_arrays(qp, tl)
+    out = {'cidx': cidx, 'cval': cval, 'y': ys, 'x': xs, 'f': fac,
+           'a': add.astype(np.int32) if isinstance(add, np.ndarray)
+           else np.full(npad, add, np.int32),
+           'sh': rsh.astype(np.int32)}
+    if with_pl:
+        out['pl'] = pl
+    return out, npad
+
+
 def build_mc_pus_native(nf, R, fnum, cur, W, H):
     """Per-prediction-unit MC params from the native block records.
 
@@ -272,8 +380,13 @@ def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
             recs_c, cnt_c = build_mc_records(
                 pus_c, H // 2, W // 2, pad=48, frac_bits=3, tap_lo=-1,
                 TH=32, TW=128)
-            inp["mc_recs_y"], inp["mc_cnt_y"] = recs_y, cnt_y
-            inp["mc_recs_c"], inp["mc_cnt_c"] = recs_c, cnt_c
+            # int16 on the wire (every record field fits: coords in
+            # the padded plane < 2.2k, phases < 256); mc_frame_pallas
+            # upcasts on device. Halves the second-largest h2d input.
+            inp["mc_recs_y"] = recs_y.astype(np.int16)
+            inp["mc_cnt_y"] = cnt_y
+            inp["mc_recs_c"] = recs_c.astype(np.int16)
+            inp["mc_cnt_c"] = cnt_c
             mc_my, mc_mc = recs_y.shape[1], recs_c.shape[1]
 
     # --- residual TU groups ---
@@ -284,40 +397,60 @@ def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
     tb = nf.tb_split.astype(bool)
     tbc = tb & (sizes > 8)
     cbp = nf.cbp
-    gy = _Group()
-    gc = _Group()
-    _emit_plane_tus(gy, nf.coeff_y, nf.coff_y, sizes, ys, xs, qps, tb,
-                    (cbp & 1) != 0)
-    _emit_plane_tus(gc, nf.coeff_u, nf.coff_u, sizes // 2, ys // 2,
-                    xs // 2, qpc, tbc, (cbp & 2) != 0, plane_id=0)
-    _emit_plane_tus(gc, nf.coeff_v, nf.coff_v, sizes // 2, ys // 2,
-                    xs // 2, qpc, tbc, (cbp & 4) != 0, plane_id=1)
-
-    # regroup per size for the staged kernels (64-blocks carry their
-    # 32x32 low-quadrant slabs but keep tr_log2size == 6, routing them
-    # to the replicating 64 stage)
     groups_y, groups_c = [], []
-    for grp, name, with_pl, glist, sizes_list in (
-            (gy, "gy", False, groups_y, (4, 8, 16, 32, 64)),
-            (gc, "gc", True, groups_c, (4, 8, 16, 32))):
-        by_size = {}
-        for c_, y_, x_, q_, t_, p_ in zip(
-                grp.coeff, grp.ys, grp.xs, grp.qp, grp.tlog2,
-                grp.pl if with_pl else [None] * len(grp.coeff)):
-            s = 64 if (len(t_) and t_[0] == 6) else c_.shape[-1]
-            e = by_size.setdefault(s, _Group())
-            e.coeff.append(c_)
-            e.ys.append(y_)
-            e.xs.append(x_)
-            e.qp.append(q_)
-            e.tlog2.append(t_)
-            if with_pl:
-                e.pl.append(p_)
-        for s in sizes_list:
-            e = by_size.get(s, _Group())
-            packed, npad = e.pack(s, with_pl)
-            inp[f"{name}{s}"] = packed
-            glist.append((s, npad))
+    from .reconstruct_jax import use_fused
+    if use_fused():
+        # sparse groups straight from the compact parse buffers
+        acc_y, acc_c = {}, {}
+        _emit_sparse_tus(acc_y, nf.coeff_y, nf.coff_y, sizes, ys, xs,
+                         qps, tb, (cbp & 1) != 0)
+        _emit_sparse_tus(acc_c, nf.coeff_u, nf.coff_u, sizes // 2,
+                         ys // 2, xs // 2, qpc, tbc, (cbp & 2) != 0,
+                         plane_id=0)
+        _emit_sparse_tus(acc_c, nf.coeff_v, nf.coff_v, sizes // 2,
+                         ys // 2, xs // 2, qpc, tbc, (cbp & 4) != 0,
+                         plane_id=1)
+        for name, acc, with_pl, glist, sizes_list in (
+                ("gy", acc_y, False, groups_y, (4, 8, 16, 32, 64)),
+                ("gc", acc_c, True, groups_c, (4, 8, 16, 32))):
+            for s in sizes_list:
+                packed, npad = _pack_sparse(acc.get(s), s, with_pl)
+                inp[f"{name}{s}"] = packed
+                glist.append((s, npad))
+    else:
+        gy = _Group()
+        gc = _Group()
+        _emit_plane_tus(gy, nf.coeff_y, nf.coff_y, sizes, ys, xs, qps,
+                        tb, (cbp & 1) != 0)
+        _emit_plane_tus(gc, nf.coeff_u, nf.coff_u, sizes // 2, ys // 2,
+                        xs // 2, qpc, tbc, (cbp & 2) != 0, plane_id=0)
+        _emit_plane_tus(gc, nf.coeff_v, nf.coff_v, sizes // 2, ys // 2,
+                        xs // 2, qpc, tbc, (cbp & 4) != 0, plane_id=1)
+
+        # regroup per size for the staged kernels (64-blocks carry
+        # their 32x32 low-quadrant slabs but keep tr_log2size == 6,
+        # routing them to the replicating 64 stage)
+        for grp, name, with_pl, glist, sizes_list in (
+                (gy, "gy", False, groups_y, (4, 8, 16, 32, 64)),
+                (gc, "gc", True, groups_c, (4, 8, 16, 32))):
+            by_size = {}
+            for c_, y_, x_, q_, t_, p_ in zip(
+                    grp.coeff, grp.ys, grp.xs, grp.qp, grp.tlog2,
+                    grp.pl if with_pl else [None] * len(grp.coeff)):
+                s = 64 if (len(t_) and t_[0] == 6) else c_.shape[-1]
+                e = by_size.setdefault(s, _Group())
+                e.coeff.append(c_)
+                e.ys.append(y_)
+                e.xs.append(x_)
+                e.qp.append(q_)
+                e.tlog2.append(t_)
+                if with_pl:
+                    e.pl.append(p_)
+            for s in sizes_list:
+                e = by_size.get(s, _Group())
+                packed, npad = e.pack(s, with_pl)
+                inp[f"{name}{s}"] = packed
+                glist.append((s, npad))
 
     # --- intra TU records in decode order ---
     n_iy = n_ic = 0

@@ -215,6 +215,7 @@ def mc_frame_pallas(refstack, recs, cnt, lut, H, W, TH, TW,
     Returns [H, W] int32 prediction in 0..255.
     """
     T = lut.shape[-1]
+    recs = jnp.asarray(recs).astype(jnp.int32)  # int16 on the wire
     nbands, M, _ = recs.shape
     Wout = _round_up(W, TW)
     WH, WW = _win_dims(T, TH, TW)

@@ -131,7 +131,9 @@ def main():
             zero = np.int32(0)
             zmask = np.zeros((1, 1), bool)
             yd, ud, vd = RJ._jit_filters(H, W, cfg.deblocking, cfg.clpf)(
-                y, u, v, inp.get('dd', {}), inp.get('beta', zero),
+                y, u, v,
+                inp.get('ddp', np.zeros((1, 1), np.uint8)),
+                inp.get('beta', zero),
                 inp.get('tc', zero), inp.get('tcC', zero),
                 inp.get('m8y', zmask), inp.get('m8u', zmask),
                 inp.get('m8v', zmask))

@@ -74,7 +74,7 @@ def main():
             t["build"] += t2 - t1
 
             # dispatch with host inputs (enqueues h2d + program)
-            yd, ud, vd = RJ._run_frame(cfg, inp)
+            yd, ud, vd, packed = RJ._run_frame(cfg, inp)
             t3 = time.perf_counter()
             t["dispatch"] += t3 - t2
             yd.block_until_ready()
@@ -87,12 +87,16 @@ def main():
             dinp = jax.device_put(inp)
             jax.block_until_ready(dinp)
             t5 = time.perf_counter()
-            y2, u2, v2 = RJ._run_frame(cfg, dinp)
+            y2, u2, v2, p2 = RJ._run_frame(cfg, dinp)
             jax.block_until_ready((y2, u2, v2))
             t6 = time.perf_counter()
             t["device_only"] += t6 - t5
 
-            yh, uh, vh = np.asarray(yd), np.asarray(ud), np.asarray(vd)
+            if packed is not None:
+                ph = np.asarray(packed)
+            else:
+                yh, uh, vh = (np.asarray(yd), np.asarray(ud),
+                              np.asarray(vd))
             t7 = time.perf_counter()
             t["d2h"] += t7 - t6
 
