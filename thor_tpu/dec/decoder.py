@@ -39,11 +39,14 @@ class _DeviceRef:
 
     __slots__ = ("frame_num", "y", "u", "v")
 
-    def __init__(self, y, u, v, frame_num):
+    def __init__(self, y, u, v, frame_num, padded=False):
         self.frame_num = frame_num
-        self.y = _edge_pad(y, 96)
-        self.u = _edge_pad(u, 48)
-        self.v = _edge_pad(v, 48)
+        if padded:          # the fused program emits codec-padded refs
+            self.y, self.u, self.v = y, u, v
+        else:
+            self.y = _edge_pad(y, 96)
+            self.u = _edge_pad(u, 48)
+            self.v = _edge_pad(v, 48)
 
 
 class _PackedFetch:
@@ -276,7 +279,8 @@ class Decoder:
             for sz, c in zip(*np.unique(nf.size, return_counts=True)):
                 st["size"][(ft, int(sz))] = \
                     st["size"].get((ft, int(sz)), 0) + int(c)
-        self.refs = [_DeviceRef(yd, ud, vd, fh.display_frame_num)] \
+        self.refs = [_DeviceRef(yd, ud, vd, fh.display_frame_num,
+                                padded=packed is not None)] \
             + self.refs[:-1]
         return yout, uout, vout, fh.display_frame_num
 

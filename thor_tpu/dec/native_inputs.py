@@ -342,13 +342,22 @@ def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
             planes.append(refs[r] if r >= 0 else interp_frame)
         while len(planes) < Rpad:
             planes.append(planes[0])
-        import jax
-        import jax.numpy as jnp
-        stack = jnp.stack if isinstance(planes[0].y, jax.Array) \
-            else np.stack
-        inp["refY"] = stack([p.y for p in planes])
-        inp["refU"] = stack([p.u for p in planes])
-        inp["refV"] = stack([p.v for p in planes])
+        from .reconstruct_jax import use_fused
+        if use_fused():
+            # the fused program stacks the reference planes in-jit:
+            # no separate stack dispatch, device-resident refs never
+            # touch the host
+            inp["refYs"] = tuple(p.y for p in planes)
+            inp["refUs"] = tuple(p.u for p in planes)
+            inp["refVs"] = tuple(p.v for p in planes)
+        else:
+            import jax
+            import jax.numpy as jnp
+            stack = jnp.stack if isinstance(planes[0].y, jax.Array) \
+                else np.stack
+            inp["refY"] = stack([p.y for p in planes])
+            inp["refU"] = stack([p.u for p in planes])
+            inp["refV"] = stack([p.v for p in planes])
 
         fnum = np.array([p.frame_num for p in planes], np.int64)
         cur = fh.display_frame_num

@@ -375,11 +375,7 @@ def _resid_y_body(s, ry, coeff, fac, add, sh, ys, xs):
 
 def _resid_c_body(s, rc, coeff, fac, add, sh, ys, xs, pl):
     vals = JK.residual_group(coeff, fac, add, sh, s)
-    ar = jnp.arange(s, dtype=jnp.int32)
-    yy = ys[:, None, None] + ar[None, :, None]
-    xx = xs[:, None, None] + ar[None, None, :]
-    plb = jnp.broadcast_to(pl[:, None, None], vals.shape)
-    return rc.at[plb, yy, xx].add(vals)
+    return JK.scatter_tu_c(rc, vals, ys, xs, pl)
 
 
 @lru_cache(maxsize=None)
@@ -629,15 +625,24 @@ def _jit_fused(cfg: FrameConfig, pmc: bool, pit_y: bool, pit_c: bool,
             g = inp[f'gc{s}']
             rc = _resid_c_body(s, rc, densify(g, s), g['f'], g['a'],
                                g['sh'], g['y'], g['x'], g['pl'])
+        if cfg.R > 0:
+            # stack the reference planes in-jit ('refYs' tuple variant:
+            # no separate stack dispatch outside the program)
+            refY = (jnp.stack(inp['refYs']) if 'refYs' in inp
+                    else inp['refY'])
+            refU = (jnp.stack(inp['refUs']) if 'refUs' in inp
+                    else inp['refU'])
+            refV = (jnp.stack(inp['refVs']) if 'refVs' in inp
+                    else inp['refV'])
         if cfg.R > 0 and pmc:
             from ..ops import pallas_mc as PM
-            py = PM.mc_frame_pallas(inp['refY'], inp['mc_recs_y'],
+            py = PM.mc_frame_pallas(refY, inp['mc_recs_y'],
                                     inp['mc_cnt_y'], lutY, H, W,
                                     64, 128, interpret)
-            pu = PM.mc_frame_pallas(inp['refU'], inp['mc_recs_c'],
+            pu = PM.mc_frame_pallas(refU, inp['mc_recs_c'],
                                     inp['mc_cnt_c'], lutC, Hc, Wc,
                                     32, 128, interpret)
-            pv = PM.mc_frame_pallas(inp['refV'], inp['mc_recs_c'],
+            pv = PM.mc_frame_pallas(refV, inp['mc_recs_c'],
                                     inp['mc_cnt_c'], lutC, Hc, Wc,
                                     32, 128, interpret)
             y = JK.clip255(py + ry)
@@ -647,11 +652,11 @@ def _jit_fused(cfg: FrameConfig, pmc: bool, pit_y: bool, pit_c: bool,
             mvargs = (inp['mv0x'], inp['mv0y'], inp['mv1x'],
                       inp['mv1y'], inp['slot0'], inp['slot1'],
                       inp['use_bi'])
-            py = JK.mc_frame(inp['refY'], *mvargs, lutY, JK.PAD_Y, 2, 4,
+            py = JK.mc_frame(refY, *mvargs, lutY, JK.PAD_Y, 2, 4,
                              H, W, -2, cfg.has_bi)
-            pu = JK.mc_frame(inp['refU'], *mvargs, lutC, JK.PAD_C, 3, 2,
+            pu = JK.mc_frame(refU, *mvargs, lutC, JK.PAD_C, 3, 2,
                              Hc, Wc, -1, cfg.has_bi)
-            pv = JK.mc_frame(inp['refV'], *mvargs, lutC, JK.PAD_C, 3, 2,
+            pv = JK.mc_frame(refV, *mvargs, lutC, JK.PAD_C, 3, 2,
                              Hc, Wc, -1, cfg.has_bi)
             y = JK.clip255(py + ry)
             u = JK.clip255(pu + rc[0])
@@ -699,7 +704,12 @@ def _jit_fused(cfg: FrameConfig, pmc: bool, pit_y: bool, pit_c: bool,
         # three per-plane fetches cost ~2x one packed fetch.
         packed = jnp.concatenate(
             [yy, jnp.concatenate([uu, vv], axis=1)], axis=0)
-        return yy, uu, vv, packed
+        # reference planes come out codec-padded (the decoder keeps
+        # them device-resident), saving the per-frame edge-pad
+        # dispatch chain
+        return (jnp.pad(yy, 96, mode='edge'),
+                jnp.pad(uu, 48, mode='edge'),
+                jnp.pad(vv, 48, mode='edge'), packed)
 
     return jax.jit(f)
 
@@ -739,9 +749,9 @@ def _fused_frame(cfg: FrameConfig, inp):
         used[f'gc{s}'] = g if 'cidx' in g else _sparse_group(g)
     keys = []
     if cfg.R > 0:
-        used['refY'] = inp['refY']
-        used['refU'] = inp['refU']
-        used['refV'] = inp['refV']
+        for k in ('refYs', 'refUs', 'refVs') \
+                if 'refYs' in inp else ('refY', 'refU', 'refV'):
+            used[k] = inp[k]
         if pmc:
             keys += ['mc_recs_y', 'mc_cnt_y', 'mc_recs_c', 'mc_cnt_c']
         else:

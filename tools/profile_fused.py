@@ -101,7 +101,8 @@ def main():
             t["d2h"] += t7 - t6
 
             dec.refs = [_DeviceRef(yd, ud, vd,
-                                   nf.hdr.display_frame_num)] \
+                                   nf.hdr.display_frame_num,
+                                   padded=packed is not None)] \
                 + dec.refs[:-1]
             jax.block_until_ready(dec.refs[0].y)
             t["ref_pad"] += time.perf_counter() - t7
