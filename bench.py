@@ -80,6 +80,15 @@ def child_decode():
                       "bit_exact": digest == want}))
 
 
+def child_decode_device():
+    """Device-only decode throughput on the real stream (inputs staged
+    on device, programs dispatched back-to-back, one tiny sync): the
+    number a locally-attached chip sustains without the tunnel link."""
+    from tools.device_decode_fps import measure
+    n, best = measure(str(BIT), reps=3)
+    print(json.dumps({"fps": round(n / best, 2), "frames": n}))
+
+
 def child_synth():
     """Steady-state synthetic inter-only device microbench (the round-1
     metric, kept for continuity)."""
@@ -215,6 +224,15 @@ def main():
     else:
         notes.append(err)
 
+    if os.environ.get("THOR_BENCH_DEVICE", "1") != "0":
+        dd_, err = _run_child("decode_device", 1200 if on_tpu else 3600,
+                              env)
+        if dd_ is not None:
+            out["decode_device_fps"] = dd_["fps"]
+            out["decode_device_vs_baseline"] = round(dd_["fps"] / 60.0, 3)
+        else:
+            notes.append(err)
+
     if os.environ.get("THOR_BENCH_SYNTH", "1") != "0":
         syn, err = _run_child("synth", 900 if on_tpu else 2400, env)
         if syn is not None:
@@ -239,6 +257,7 @@ if __name__ == "__main__":
         for k, v in CACHE_ENV.items():
             os.environ.setdefault(k, v)
         {"probe": child_probe, "decode": child_decode,
+         "decode_device": child_decode_device,
          "synth": child_synth, "encode": child_encode}[sys.argv[2]]()
     else:
         main()

@@ -23,12 +23,16 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import numpy as np
 
-BIT = sys.argv[1] if len(sys.argv) > 1 else str(
-    ROOT / "testdata" / "LDB_medium_complexity_1080.bit")
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+BIT = str(ROOT / "testdata" / "LDB_medium_complexity_1080.bit")
+REPS = 3
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        BIT = sys.argv[1]
+    if len(sys.argv) > 2:
+        REPS = int(sys.argv[2])
 
 
-def main():
+def measure(bit=BIT, reps=REPS):
     import jax
     from thor_tpu.bitstream.reader import BitReader, iter_frames
     from thor_tpu.dec.decoder import Decoder, _DeviceRef
@@ -44,7 +48,7 @@ def main():
     dec = Decoder(backend="jax", parse="native")
     staged = []
     first = True
-    for payload in iter_frames(BIT):
+    for payload in iter_frames(bit):
         br = BitReader(payload)
         if first:
             dec.seq = SequenceHeader.read(br)
@@ -85,12 +89,14 @@ def main():
 
     run_all()                      # warm (all compiles already cached)
     best = float("inf")
-    for _ in range(REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
         run_all()
         best = min(best, time.perf_counter() - t0)
-    print(f"frames={n} best={best:.3f}s device_fps={n / best:.2f}")
+    return n, best
 
 
 if __name__ == "__main__":
-    main()
+    frames, best = measure()
+    print(f"frames={frames} best={best:.3f}s "
+          f"device_fps={frames / best:.2f}")
