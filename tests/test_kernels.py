@@ -3,6 +3,7 @@
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 import thor_tpu.ops.jax_kernels as JK
@@ -115,3 +116,30 @@ def test_intra_predict_static_parity():
                 sta = np.asarray(sta_fn(left, top, tl, ty, tx,
                                         np.int32(mode)))
                 assert np.array_equal(dyn[:s, :s], sta[:s, :s]), (s, mode)
+
+
+def test_quantize_fwd_batch_parity():
+    """Batched device quantizer vs the mirror's exact quantize()
+    (enc/encode_block.c:75-172) including the unconditional RDOQ-light
+    zero-run pass and the chroma low-offset rule."""
+    from thor_tpu.enc.quant import quantize
+    from thor_tpu.codec.constants import zigzag_for
+    rng = np.random.RandomState(1)
+    for size in (4, 8, 16, 32):
+        for intra in (False, True):
+            for chroma in (False, True):
+                qp = 32
+                N = 17
+                c = (rng.randint(-800, 800, (N, size, size))
+                     * (rng.rand(N, size, size) < 0.15)).astype(np.int64)
+                c[::7] //= 50
+                zz = zigzag_for(min(size, 16))
+                qd, cbpd = JK.quantize_fwd_batch(
+                    jnp.asarray(c), qp, size, intra, zz, chroma)
+                qd = np.asarray(qd)
+                cbpd = np.asarray(cbpd)
+                ct = (intra << 1) | chroma
+                for i in range(N):
+                    cbp, qq = quantize(c[i], qp, size, ct, 0)
+                    assert np.array_equal(qq, qd[i])
+                    assert (cbp != 0) == bool(cbpd[i])

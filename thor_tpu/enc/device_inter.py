@@ -107,7 +107,8 @@ def _recon_blocks(pred, q, s, qp):
 
 @lru_cache(maxsize=None)
 def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
-              has_bi: bool = False):
+              has_bi: bool = False, tb: bool = False,
+              fastY2: bool = False):
     """Jitted per-size trial coding of every full block at K motion
     variants (ME MV, neighbour MVs, zero MV per ref, and - on bipred
     frames - bipred pairs; the candidate set the skip/merge derivation
@@ -118,7 +119,13 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
 
     Variants are stream-domain 7-tuples (mvy0, mvx0, slot0, mvy1,
     mvx1, slot1, bi); bi != 0 averages the two prediction lists like
-    the decoder (dec/decode_block.c:394-447)."""
+    the decoder (dec/decode_block.c:394-447).
+
+    With tb=True (sizes > 8 on tb_split-enabled configs) each variant
+    is additionally coded with the transform split into four s/2
+    quadrants (enc/encode_block.c:1469-1532 tb branch): per-quadrant
+    cbp masks (bit 3-k), quadrant-selective SSD and coded coeff bits,
+    plus the quadrant-layout quantized banks."""
     Hc, Wc = H // 2, W // 2
     H4, W4 = H // 4, W // 4
     HB, WB = H // s, W // s
@@ -126,6 +133,9 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
     cpb = s // 4
     zzy = zigzag_for(min(s, 16))
     zzc = zigzag_for(min(sc, 16))
+    if tb:
+        zzy2 = zigzag_for(min(s // 2, 16))
+        zzc2 = zigzag_for(min(sc // 2, 16))
 
     def f(orgY, orgU, orgV, phY, phU, phV, mvy0, mvx0, slot0,
           mvy1, mvx1, slot1, bi, qpY, qpC, sign_uni, sign_bi):
@@ -169,7 +179,8 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
                 pb = _blocks_of(pred, b, HB, WB)
                 resid = ob - pb
                 coeff = JK.fwd_transform_batch(resid, b, fast)
-                q, cbp = JK.quantize_fwd_batch(coeff, qp, b, False, zz)
+                q, cbp = JK.quantize_fwd_batch(coeff, qp, b, False, zz,
+                                               chroma)
                 rec = _recon_blocks(pb, q, b, qp)
                 ssd_c = ((ob - rec) ** 2).sum(axis=(1, 2))
                 ssd_p = (resid ** 2).sum(axis=(1, 2))
@@ -186,15 +197,70 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
             ssd_c = (jnp.where(cbpy, scy, spy)
                      + jnp.where(cbpu, scu, spu)
                      + jnp.where(cbpv, scv, spv))
-            return dict(
+            out = dict(
                 qy=qy, qu=qu, qv=qv,
                 cbp_y=cbpy, cbp_u=cbpu, cbp_v=cbpv,
                 ssd_coded=ssd_c, ssd_pred=spy + spu + spv,
                 bits=(jnp.where(cbpy, by, 0) + jnp.where(cbpu, bu, 0)
                       + jnp.where(cbpv, bv, 0)))
 
+            if tb:
+                def plane_trial_tb(org, pred, b, qp, zzs, fast_sub,
+                                   chroma):
+                    b2 = b // 2
+                    ob = _blocks_of(org.astype(jnp.int32), b, HB, WB)
+                    pb = _blocks_of(pred, b, HB, WB)
+                    # quadrant-major [4N, b2, b2], k = 2*qi + qj
+                    oq = ob.reshape(-1, 2, b2, 2, b2) \
+                        .transpose(0, 1, 3, 2, 4).reshape(-1, b2, b2)
+                    pq = pb.reshape(-1, 2, b2, 2, b2) \
+                        .transpose(0, 1, 3, 2, 4).reshape(-1, b2, b2)
+                    resid = oq - pq
+                    coeff = JK.fwd_transform_batch(resid, b2, fast_sub)
+                    q, cq = JK.quantize_fwd_batch(coeff, qp, b2, False,
+                                                  zzs, chroma)
+                    rec = _recon_blocks(pq, q, b2, qp)
+                    ssd_c = ((oq - rec) ** 2).sum(axis=(1, 2))
+                    ssd_p = (resid ** 2).sum(axis=(1, 2))
+                    bq = coeff_bits_batch(q, b2, False, chroma)
+                    cq = cq.reshape(-1, 4)
+                    ssd = jnp.where(cq, ssd_c.reshape(-1, 4),
+                                    ssd_p.reshape(-1, 4)).sum(1)
+                    bits = jnp.where(cq, bq.reshape(-1, 4), 0).sum(1)
+                    # writer bit order: quadrant k at bit (3-k)
+                    mask = (cq.astype(jnp.int32)
+                            * jnp.asarray([8, 4, 2, 1],
+                                          jnp.int32)[None, :]).sum(1)
+                    q_sp = q.reshape(-1, 2, 2, b2, b2) \
+                        .transpose(0, 1, 3, 2, 4).reshape(-1, b, b)
+                    return q_sp, mask, ssd, bits
+
+                qty, cty, sty, bty = plane_trial_tb(
+                    orgY, predY, s, qpY, zzy2, fastY2, False)
+                qtu, ctu, stu, btu = plane_trial_tb(
+                    orgU, predU, sc, qpC, zzc2, fastC, True)
+                qtv, ctv, stv, btv = plane_trial_tb(
+                    orgV, predV, sc, qpC, zzc2, fastC, True)
+                out.update(
+                    qy_tb=qty, qu_tb=qtu, qv_tb=qtv,
+                    cbp_tb_y=cty, cbp_tb_u=ctu, cbp_tb_v=ctv,
+                    ssd_tb=sty + stu + stv, bits_tb=bty + btu + btv)
+            return out
+
         return jax.vmap(one)(mvy0, mvx0, slot0, mvy1, mvx1, slot1, bi)
 
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _pack_out_fn(H: int, W: int):
+    """[3H/2, W] uint8 packed recon (Y on top, U|V below) for a single
+    device->host fetch."""
+    def f(y, u, v):
+        return jnp.concatenate(
+            [y.astype(jnp.uint8),
+             jnp.concatenate([u.astype(jnp.uint8),
+                              v.astype(jnp.uint8)], axis=1)], axis=0)
     return jax.jit(f)
 
 
@@ -258,6 +324,49 @@ def _final_mc_fn(H: int, W: int, has_bi: bool = False):
         rY = jnp.zeros((H, W), jnp.int32)
         rU = jnp.zeros((Hc, Wc), jnp.int32)
         rV = jnp.zeros((Hc, Wc), jnp.int32)
+        def quads_of(q, b2):
+            """[N, 2*b2, 2*b2] quadrant-layout banks -> [4N, b2, b2]
+            in (block, k=2*qi+qj) order."""
+            return q.reshape(-1, 2, b2, 2, b2) \
+                .transpose(0, 1, 3, 2, 4).reshape(-1, b2, b2)
+
+        def quad_cb(msk, mtb):
+            """Per-block 4-bit quadrant cbp masks (bit 3-k) -> [4N]
+            bool in (block, k) order, gated by mtb."""
+            cb = ((msk[:, None] >> jnp.asarray([3, 2, 1, 0],
+                                               jnp.int32)) & 1) != 0
+            return (cb & mtb[:, None]).reshape(-1)
+
+        def quad_rows(HB, WB, HH, WW, b2):
+            """Half-size-grid row index of each (block, k) quadrant
+            (the s-grid does not cover the full b2-grid at non-multiple
+            frame edges, so quadrants scatter at explicit rows)."""
+            WB2 = -(-WW // b2)
+            by, bx = np.meshgrid(np.arange(HB), np.arange(WB),
+                                 indexing='ij')
+            qi, qj = np.meshgrid(np.arange(2), np.arange(2),
+                                 indexing='ij')
+            rows = ((by[:, :, None, None] * 2 + qi) * WB2
+                    + bx[:, :, None, None] * 2 + qj)
+            return jnp.asarray(rows.reshape(-1).astype(np.int32))
+
+        def dense_add_at(r, q, cb, rows, b2, fac, HH, WW):
+            """dense_add at explicit half-size-grid rows (ceil grid,
+            cropped to the frame)."""
+            HB2, WB2 = -(-HH // b2), -(-WW // b2)
+            M = q.shape[0]
+            sh = int(np.log2(b2)) - 1
+            q = jnp.where(cb[:, None, None], q, 0)
+            vals = JK.residual_group(
+                q, jnp.broadcast_to(fac, (M,)),
+                jnp.full((M,), 1 << (sh - 1), jnp.int32),
+                jnp.full((M,), sh, jnp.int32), b2)
+            bank = jnp.zeros((HB2 * WB2, b2 * b2), vals.dtype)
+            bank = bank.at[rows].add(vals.reshape(M, -1))
+            d = bank.reshape(HB2, WB2, b2, b2).transpose(0, 2, 1, 3) \
+                .reshape(HB2 * b2, WB2 * b2)[:HH, :WW]
+            return r + d
+
         for s in SIZES:
             t = trials[s]
             HB, WB = H // s, W // s
@@ -275,6 +384,23 @@ def _final_mc_fn(H: int, W: int, has_bi: bool = False):
                            sc, sc, facC, Hc, Wc)
             rV = dense_add(rV, t['qv'][k, ar], t['cbp_v'][k, ar] & m,
                            sc, sc, facC, Hc, Wc)
+            if 'qy_tb' in t:
+                # tb-split leaves: four real s/2 (chroma s/4)
+                # transforms per block at the half-size grid
+                s2, sc2 = s // 2, sc // 2
+                mtb = t['mtb']
+                rY = dense_add_at(
+                    rY, quads_of(t['qy_tb'][k, ar], s2),
+                    quad_cb(t['cbp_tb_y'][k, ar], mtb),
+                    quad_rows(HB, WB, H, W, s2), s2, facY, H, W)
+                rU = dense_add_at(
+                    rU, quads_of(t['qu_tb'][k, ar], sc2),
+                    quad_cb(t['cbp_tb_u'][k, ar], mtb),
+                    quad_rows(HB, WB, Hc, Wc, sc2), sc2, facC, Hc, Wc)
+                rV = dense_add_at(
+                    rV, quads_of(t['qv_tb'][k, ar], sc2),
+                    quad_cb(t['cbp_tb_v'][k, ar], mtb),
+                    quad_rows(HB, WB, Hc, Wc, sc2), sc2, facC, Hc, Wc)
         y = jnp.clip(pY + rY, 0, 255)
         u = jnp.clip(pU + rU, 0, 255)
         v = jnp.clip(pV + rV, 0, 255)
@@ -340,8 +466,11 @@ def _quote_super_mode(ectx, binfo, mode, ref_idx0):
     return maxbit if code == maxbit else code + 1
 
 
-def _quote_cbp(cbp_y, cbp_u, cbp_v, ctx_cbp0, merge):
-    """Bit count of the cbp code (enc/write_bits.c:287-347 counting)."""
+def _quote_cbp(cbp_y, cbp_u, cbp_v, ctx_cbp0, merge, tb_enabled=False):
+    """Bit count of the cbp code (enc/write_bits.c:287-347 counting).
+    tb_enabled: this mode can code tb_split (INTER/INTRA on
+    tb-enabled configs), which shifts codes > 1 up by one to make room
+    for the tb_split escape (code 2)."""
     from .syntax import CBP_TABLE
     code = CBP_TABLE[cbp_y + 2 * cbp_u + 4 * cbp_v]
     if merge:
@@ -349,9 +478,28 @@ def _quote_cbp(cbp_y, cbp_u, cbp_v, ctx_cbp0, merge):
             code = 7
         elif code > 1:
             code -= 1
-    elif ctx_cbp0 and code < 2:
-        code = 1 - code
+    else:
+        if ctx_cbp0 and code < 2:
+            code = 1 - code
+        if tb_enabled and code > 1:
+            code += 1
     return quote_vlc(0, code)
+
+
+def _quote_cbp_tb(mask_y, mask_u, mask_v, ctx_cbp0):
+    """Bit count of a tb_split block's payload header: the tb escape
+    (code 2) plus the four per-quadrant cbp codes
+    (enc/write_bits.c:287-347, size > 8 branch)."""
+    from .syntax import CBP_TABLE
+    bits = quote_vlc(0, 2)
+    for k in range(4):
+        sh = 3 - k
+        code = CBP_TABLE[((mask_y >> sh) & 1) + 2 * ((mask_u >> sh) & 1)
+                         + 4 * ((mask_v >> sh) & 1)]
+        if ctx_cbp0 and code < 2:
+            code = 1 - code
+        bits += quote_vlc(0, code)
+    return bits
 
 
 def _skip_idx_bits(nvec, idx):
@@ -367,11 +515,11 @@ def _skip_idx_bits(nvec, idx):
 class _Leaf:
     __slots__ = ("ypos", "xpos", "size", "mode", "mv", "ref", "skip_idx",
                  "intra_mode", "idx", "use_cbp", "cand", "k",
-                 "mv1", "ref1", "dir")
+                 "mv1", "ref1", "dir", "tb")
 
     def __init__(self, ypos, xpos, size, mode, mv=(0, 0), ref=0,
                  skip_idx=0, intra_mode=0, idx=0, use_cbp=False, k=0,
-                 mv1=(0, 0), ref1=0, dir=0):
+                 mv1=(0, 0), ref1=0, dir=0, tb=0):
         self.ypos, self.xpos, self.size = ypos, xpos, size
         self.mode, self.mv, self.ref = mode, mv, ref
         self.skip_idx, self.intra_mode = skip_idx, intra_mode
@@ -379,6 +527,7 @@ class _Leaf:
         self.cand = None
         self.k = k
         self.mv1, self.ref1, self.dir = mv1, ref1, dir
+        self.tb = tb
 
 
 def _decide_frame_native(enc, meas, intra_modes, intra_costs, lam,
@@ -392,7 +541,7 @@ def _decide_frame_native(enc, meas, intra_modes, intra_costs, lam,
     per_size = []
     for s in SIZES:
         m = meas[s]
-        per_size.append({
+        d = {
             'mvx': m['mvx'], 'mvy': m['mvy'], 'slot': m['slot'],
             'mvx1': m['mvx1'], 'mvy1': m['mvy1'], 'slot1': m['slot1'],
             'K_uni': m['K_uni'],
@@ -401,7 +550,13 @@ def _decide_frame_native(enc, meas, intra_modes, intra_costs, lam,
             'cbp_y': m['cbp_y'], 'cbp_u': m['cbp_u'],
             'cbp_v': m['cbp_v'],
             'intra_cost': intra_costs[s], 'intra_mode': intra_modes[s],
-        })
+        }
+        if 'ssd_tb' in m:
+            d.update({'ssd_tb': m['ssd_tb'], 'bits_tb': m['bits_tb'],
+                      'cbp_tb_y': m['cbp_tb_y'],
+                      'cbp_tb_u': m['cbp_tb_u'],
+                      'cbp_tb_v': m['cbp_tb_v']})
+        per_size.append(d)
     recs = decide_frame_native(
         W, H, enc.num_ref, int(p.enable_bipred), int(enc.interp_ref),
         int(bool(p.use_block_contexts)), int(enc.frame_type),
@@ -412,7 +567,8 @@ def _decide_frame_native(enc, meas, intra_modes, intra_costs, lam,
                    mv=(r.mvx, r.mvy), ref=r.ref, skip_idx=r.skip_idx,
                    intra_mode=r.intra_mode, idx=r.idx,
                    use_cbp=bool(r.use_cbp), k=r.k,
-                   mv1=(r.mv1x, r.mv1y), ref1=r.ref1, dir=r.dir)
+                   mv1=(r.mv1x, r.mv1y), ref1=r.ref1, dir=r.dir,
+                   tb=int(r.tb))
         leaves.append(lf)
     return leaves, set()
 
@@ -520,7 +676,9 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
                     lf.cand = c
                     best = (cost, lf)
 
-        # --- INTER at the ME MV (coded and zero-residual variants) ---
+        # --- INTER at the ME MV (coded, zero-residual and - on
+        # tb-enabled configs for sizes > 8 - tb-split variants) ---
+        tb_on = 'ssd_tb' in m
         mv = (int(m['mvx'][0, idx]), int(m['mvy'][0, idx]))
         ref = int(m['slot'][0, idx])
         mvbits = quote_mv_bits(mv[1] - mvp[1], mv[0] - mvp[0])
@@ -528,19 +686,33 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
         cy = int(m['cbp_y'][0, idx])
         cu = int(m['cbp_u'][0, idx])
         cv = int(m['cbp_v'][0, idx])
-        cbp0_bits = _quote_cbp(0, 0, 0, ctx_cbp0, False)
+        tbe = p.enable_tb_split == 1
+        cbp0_bits = _quote_cbp(0, 0, 0, ctx_cbp0, False, tbe)
         cost_zero = int(m['ssd_pred'][0, idx]) + int(
             lam * (smbits + mvbits + cbp0_bits) + 0.5)
         cost_coded = int(m['ssd_coded'][0, idx]) + int(
             lam * (smbits + mvbits + int(m['bits'][0, idx])
-                   + _quote_cbp(cy, cu, cv, ctx_cbp0, False)) + 0.5)
+                   + _quote_cbp(cy, cu, cv, ctx_cbp0, False, tbe))
+            + 0.5)
         if (cy or cu or cv) and cost_coded < cost_zero:
-            cost, use_cbp = cost_coded, True
+            cost, use_cbp, tb_pick = cost_coded, True, 0
         else:
-            cost, use_cbp = cost_zero, False
+            cost, use_cbp, tb_pick = cost_zero, False, 0
+        if tb_on:
+            my = int(m['cbp_tb_y'][0, idx])
+            mu = int(m['cbp_tb_u'][0, idx])
+            mvv = int(m['cbp_tb_v'][0, idx])
+            if my or mu or mvv:
+                cost_tb = int(m['ssd_tb'][0, idx]) + int(
+                    lam * (smbits + mvbits
+                           + _quote_cbp_tb(my, mu, mvv, ctx_cbp0)
+                           + int(m['bits_tb'][0, idx])) + 0.5)
+                if cost_tb < cost:
+                    cost, use_cbp, tb_pick = cost_tb, True, 1
         if best is None or cost < best[0]:
             best = (cost, _Leaf(y0, x0, s, MODE_INTER, mv=mv, ref=ref,
-                                idx=idx, use_cbp=use_cbp, k=0))
+                                idx=idx, use_cbp=use_cbp, k=0,
+                                tb=tb_pick))
 
         # --- BIPRED at every measured bi pair (ME pair, neighbour
         # pairs, zero-zero; ref enc/encode_block.c:2379-2427) ---
@@ -602,6 +774,10 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
             if not lf.use_cbp:
                 return (0, 0, 0)
             m = meas[lf.size]
+            if lf.tb:
+                return (int(m['cbp_tb_y'][lf.k, lf.idx] != 0),
+                        int(m['cbp_tb_u'][lf.k, lf.idx] != 0),
+                        int(m['cbp_tb_v'][lf.k, lf.idx] != 0))
             return (int(m['cbp_y'][lf.k, lf.idx]),
                     int(m['cbp_u'][lf.k, lf.idx]),
                     int(m['cbp_v'][lf.k, lf.idx]))
@@ -617,8 +793,8 @@ def _decide_frame(enc, meas, intra_modes, intra_costs, lam, lam_me):
             mv0 = (lf.mv,) * 4
             mv1 = ((0, 0),) * 4
             dd.store_block(lf.ypos, lf.xpos, lf.size, lf.size, lf.size,
-                           MODE_INTER, plane_cbp(lf), 0, 0, mv0, mv1,
-                           lf.ref, 0, 0)
+                           MODE_INTER, plane_cbp(lf), lf.tb, 0, mv0,
+                           mv1, lf.ref, 0, 0)
         elif lf.mode == MODE_BIPRED:
             mv0 = (lf.mv,) * 4
             mv1 = (lf.mv1,) * 4
@@ -711,9 +887,15 @@ def _emit_native(enc, w, leaves, meas, coeff_host, intra_q):
             bank_row[i] = coeff_host[lf.size]['index'][(lf.ypos,
                                                         lf.xpos)]
             m = meas[lf.size]
-            cbp3[i] = (int(m['cbp_y'][lf.k, lf.idx])
-                       | (int(m['cbp_u'][lf.k, lf.idx]) << 1)
-                       | (int(m['cbp_v'][lf.k, lf.idx]) << 2))
+            if lf.tb:
+                # tb leaf: the three 4-bit quadrant masks
+                cbp3[i] = (int(m['cbp_tb_y'][lf.k, lf.idx])
+                           | (int(m['cbp_tb_u'][lf.k, lf.idx]) << 4)
+                           | (int(m['cbp_tb_v'][lf.k, lf.idx]) << 8))
+            else:
+                cbp3[i] = (int(m['cbp_y'][lf.k, lf.idx])
+                           | (int(m['cbp_u'][lf.k, lf.idx]) << 1)
+                           | (int(m['cbp_v'][lf.k, lf.idx]) << 2))
     params = {'W': enc.width, 'H': enc.height, 'num_ref': enc.num_ref,
               'enable_bipred': int(p.enable_bipred),
               'interp_ref': int(enc.interp_ref),
@@ -863,7 +1045,12 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         bik = np.stack(var_bi).astype(np.int32)
 
         fastY = (s == 64 and fast64) or fast32
-        t = _trial_fn(H, W, s, fastY, fast32, has_bi)(
+        # tb trials for sizes > 8 on tb-enabled configs (the s == 8
+        # tb_split tool - 4x4 luma quadrants - is deliberately not in
+        # the device toolset; its RD contribution is marginal)
+        tb_s = p.enable_tb_split == 1 and s > 8
+        fastY2 = s == 64 or fast32
+        t = _trial_fn(H, W, s, fastY, fast32, has_bi, tb_s, fastY2)(
             jnp.asarray(org_y), jnp.asarray(org_u), jnp.asarray(org_v),
             phY, phU, phV, jnp.asarray(mvyk), jnp.asarray(mvxk),
             jnp.asarray(slotk), jnp.asarray(mvy1k), jnp.asarray(mvx1k),
@@ -874,13 +1061,17 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
             'mvy': mvyk, 'mvx': mvxk, 'slot': slotk,
             'mvy1': mvy1k, 'mvx1': mvx1k, 'slot1': slot1k, 'bi': bik,
             'K_uni': K_uni,
-            'ssd_coded': np.asarray(t['ssd_coded']),
-            'ssd_pred': np.asarray(t['ssd_pred']),
-            'bits': np.asarray(t['bits']),
-            'cbp_y': np.asarray(t['cbp_y']),
-            'cbp_u': np.asarray(t['cbp_u']),
-            'cbp_v': np.asarray(t['cbp_v']),
         }
+      # one batched fetch for every size's measurement maps (each
+      # blocking per-map fetch pays the link RTT)
+      fetch_keys = ('ssd_coded', 'ssd_pred', 'bits', 'cbp_y', 'cbp_u',
+                    'cbp_v', 'ssd_tb', 'bits_tb', 'cbp_tb_y',
+                    'cbp_tb_u', 'cbp_tb_v')
+      host = jax.device_get({s: {k: trials_dev[s][k] for k in fetch_keys
+                                 if k in trials_dev[s]}
+                             for s in SIZES})
+      for s in SIZES:
+          meas[s].update(host[s])
 
     with _t.stage('intra_search'):
         intra_modes, intra_split, intra_costs = search_intra_frame(
@@ -930,14 +1121,25 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         N = HB * WB
         ksel = np.zeros(N, np.int32)
         msk = np.zeros(N, bool)
+        mtb = np.zeros(N, bool)
         for lf in coded[s]:
             ksel[lf.idx] = lf.k
-            msk[lf.idx] = True
+            if lf.tb:
+                mtb[lf.idx] = True
+            else:
+                msk[lf.idx] = True
         t = trials_dev[s]
         tsel[s] = {'qy': t['qy'], 'qu': t['qu'], 'qv': t['qv'],
                    'cbp_y': t['cbp_y'], 'cbp_u': t['cbp_u'],
                    'cbp_v': t['cbp_v'],
                    'k': jnp.asarray(ksel), 'm': jnp.asarray(msk)}
+        if 'qy_tb' in t:
+            tsel[s].update({'qy_tb': t['qy_tb'], 'qu_tb': t['qu_tb'],
+                            'qv_tb': t['qv_tb'],
+                            'cbp_tb_y': t['cbp_tb_y'],
+                            'cbp_tb_u': t['cbp_tb_u'],
+                            'cbp_tb_v': t['cbp_tb_v'],
+                            'mtb': jnp.asarray(mtb)})
 
     with _t.stage('final_mc'):
         # per-cell stream MVs -> visual MVs (future-ref sign fold;
@@ -959,7 +1161,10 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     if intra_leaves:
       with _t.stage('intra_scan'):
         n = len(intra_leaves)
-        npad = max(128, 1 << (n - 1).bit_length())
+        # P frames usually have few intra leaves; a small floor keeps
+        # the sequential exact-recon scan short (the pow2 ladder still
+        # bounds the compile count)
+        npad = max(32, 1 << (n - 1).bit_length())
         ty = np.array([lf.ypos for lf in intra_leaves], np.int32)
         tx = np.array([lf.xpos for lf in intra_leaves], np.int32)
         sz = np.array([lf.size for lf in intra_leaves], np.int32)
@@ -1005,31 +1210,51 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
                                                    jnp.int32(qpC))
         u_d = Pu[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
         v_d = Pv[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
-        intra_q = {
-            'qy': np.asarray(q16y), 'qu': np.asarray(q16u),
-            'qv': np.asarray(q16v), 'cy': np.asarray(cbpy),
-            'cu': np.asarray(cbpu), 'cv': np.asarray(cbpv),
-            'index': {(lf.ypos, lf.xpos): i
-                      for i, lf in enumerate(intra_leaves)}}
+        intra_q = jax.device_get({'qy': q16y, 'qu': q16u, 'qv': q16v,
+                                  'cy': cbpy, 'cu': cbpu, 'cv': cbpv})
+        intra_q['index'] = {(lf.ypos, lf.xpos): i
+                            for i, lf in enumerate(intra_leaves)}
 
     with _t.stage('fetch_recon'):
-        y = np.asarray(y_d).astype(np.uint8)
-        u = np.asarray(u_d).astype(np.uint8)
-        v = np.asarray(v_d).astype(np.uint8)
+        # one packed device->host fetch (the tunnel pays ~80 ms RTT
+        # per blocking transfer; three per-plane fetches cost ~2x one)
+        ph = np.asarray(_pack_out_fn(H, W)(y_d, u_d, v_d))
+        y = ph[:H]
+        u = ph[H:, :W // 2]
+        v = ph[H:, W // 2:]
 
     # --- syntax emission with exact contexts ---
-    coeff_host = {}
+    gather_dev = {}
+    tbms = {}
     for s in SIZES:
         lst = coded[s]
         if lst:
             ks = jnp.asarray(np.array([lf.k for lf in lst], np.int32))
             sel = jnp.asarray(np.array([lf.idx for lf in lst], np.int32))
-            coeff_host[s] = {
-                'qy': np.asarray(trials_dev[s]['qy'][ks, sel]),
-                'qu': np.asarray(trials_dev[s]['qu'][ks, sel]),
-                'qv': np.asarray(trials_dev[s]['qv'][ks, sel]),
-                'index': {(lf.ypos, lf.xpos): i
-                          for i, lf in enumerate(lst)}}
+            g = {'qy': trials_dev[s]['qy'][ks, sel],
+                 'qu': trials_dev[s]['qu'][ks, sel],
+                 'qv': trials_dev[s]['qv'][ks, sel]}
+            tbm = np.array([bool(lf.tb) for lf in lst])
+            tbms[s] = tbm
+            if tbm.any():
+                g['qy_tb'] = trials_dev[s]['qy_tb'][ks, sel]
+                g['qu_tb'] = trials_dev[s]['qu_tb'][ks, sel]
+                g['qv_tb'] = trials_dev[s]['qv_tb'][ks, sel]
+            gather_dev[s] = g
+    coeff_host = {}
+    for s, g in jax.device_get(gather_dev).items():
+        lst = coded[s]
+        qy, qu, qv = g['qy'], g['qu'], g['qv']
+        tbm = tbms[s]
+        if tbm.any():
+            # tb leaves carry the quadrant-layout banks instead
+            qy = np.where(tbm[:, None, None], g['qy_tb'], qy)
+            qu = np.where(tbm[:, None, None], g['qu_tb'], qu)
+            qv = np.where(tbm[:, None, None], g['qv_tb'], qv)
+        coeff_host[s] = {
+            'qy': qy, 'qu': qu, 'qv': qv,
+            'index': {(lf.ypos, lf.xpos): i
+                      for i, lf in enumerate(lst)}}
 
     enc.deblock_data.reset()
 
@@ -1090,9 +1315,15 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
             bp.coeff_y = ch['qy'][i]
             bp.coeff_u = ch['qu'][i]
             bp.coeff_v = ch['qv'][i]
-            bp.cbp = (int(meas[s]['cbp_y'][lf.k, lf.idx]),
-                      int(meas[s]['cbp_u'][lf.k, lf.idx]),
-                      int(meas[s]['cbp_v'][lf.k, lf.idx]))
+            if lf.tb:
+                # quadrant cbp masks (bit 3-k), tb_split payload
+                bp.cbp = (int(meas[s]['cbp_tb_y'][lf.k, lf.idx]),
+                          int(meas[s]['cbp_tb_u'][lf.k, lf.idx]),
+                          int(meas[s]['cbp_tb_v'][lf.k, lf.idx]))
+            else:
+                bp.cbp = (int(meas[s]['cbp_y'][lf.k, lf.idx]),
+                          int(meas[s]['cbp_u'][lf.k, lf.idx]),
+                          int(meas[s]['cbp_v'][lf.k, lf.idx]))
 
         bp = BlockParam(mode=lf.mode)
         if lf.mode in (MODE_SKIP, MODE_MERGE):
@@ -1112,7 +1343,8 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
             bp.ref_idx0 = lf.ref
             bp.mv_arr0 = (lf.mv,) * 4
             bp.pb_part = 0
-            bp.tb_param = 0
+            bp.tb_param = lf.tb
+            bp.tb_split = lf.tb
             if lf.use_cbp:
                 attach_coeffs(bp, lf)
             else:

@@ -108,6 +108,97 @@ def _recon_from_q(pred, q, s, qp):
     return jnp.clip(pred + rr, 0, 255)
 
 
+def _block_refs_dev(P, s, W, H, up_av, dl_av):
+    """Device twin of _block_refs_host: per-block top/left/topleft refs
+    built from the plane with dense strided slices (no host gathers, no
+    [N, 128] transfers). up_av/dl_av: static bool [N] numpy arrays."""
+    from jax import lax
+    HB, WB = H // s, W // s
+    N = HB * WB
+    # +1 edge pad on top/left (ref row/col above/left of each block),
+    # +s+2 slack on the right/bottom for the window slices
+    Pp = jnp.pad(P.astype(jnp.int32), ((1, s + 2), (1, s + 2)),
+                 mode='edge')
+    # rows above each block row / cols left of each block col
+    RA = lax.slice(Pp, (0, 0), (HB * s, Pp.shape[1]), (s, 1))  # [HB, *]
+    CA = lax.slice(Pp, (0, 0), (Pp.shape[0], WB * s), (1, s))  # [*, WB]
+
+    def windows(M, nblk):
+        # M: [nblk_other, width]; window j at origin o*s+1 per block
+        cols = [lax.slice(M, (0, 1 + j), (M.shape[0], 1 + j + nblk * s),
+                          (1, s)) for j in range(s + 1)]
+        return jnp.stack(cols, axis=-1)   # [nblk_other, nblk, s+1]
+
+    topw = windows(RA, WB).reshape(N, s + 1)
+    leftw = windows(CA.T, HB).reshape(WB, HB, s + 1) \
+        .transpose(1, 0, 2).reshape(N, s + 1)
+    up = jnp.asarray(up_av[:, None])
+    dl = jnp.asarray(dl_av[:, None])
+    ttail = jnp.where(up, topw[:, s:s + 1], topw[:, s - 1:s])
+    ltail = jnp.where(dl, leftw[:, s:s + 1], leftw[:, s - 1:s])
+    top = jnp.concatenate(
+        [topw[:, :s], jnp.broadcast_to(ttail, (N, 128 - s))], axis=1)
+    left = jnp.concatenate(
+        [leftw[:, :s], jnp.broadcast_to(ltail, (N, 128 - s))], axis=1)
+    tl = lax.slice(Pp, (0, 0), (HB * s, WB * s), (s, s)).reshape(N)
+    # frame-edge fills (make_top_and_left: missing refs read 128)
+    ty = np.repeat(np.arange(HB) * s, WB)
+    tx = np.tile(np.arange(WB) * s, HB)
+    row0 = jnp.asarray((ty == 0)[:, None])
+    col0 = jnp.asarray((tx == 0)[:, None])
+    top = jnp.where(row0, 128, top)
+    left = jnp.where(col0, 128, left)
+    tl = jnp.where(jnp.asarray(ty == 0), left[:, 0],
+                   jnp.where(jnp.asarray(tx > 0), tl, top[:, 0]))
+    return top, left, tl
+
+
+@lru_cache(maxsize=None)
+def _search_frame_fn(s: int, W: int, H: int, fast: bool, nmodes: int,
+                     intra_quant: bool = True):
+    """_search_fn with the per-block refs and block tiles built
+    in-program from the raw planes: the only inputs are the three
+    frame planes (device-resident) + traced qp/lambda, and the only
+    outputs are the [HB, WB] mode/cost maps."""
+    from ..dec.native_inputs import (_downleft_available_v,
+                                     _upright_available_v)
+    HB, WB = H // s, W // s
+    sc = s // 2
+    ty = np.repeat(np.arange(HB) * s, WB).astype(np.int32)
+    tx = np.tile(np.arange(WB) * s, HB).astype(np.int32)
+    up_av = _upright_available_v(ty, tx, s, W).astype(bool)
+    dl_av = _downleft_available_v(ty, tx, s, H).astype(bool)
+    # the search refs use each plane's own geometry (as the host refs
+    # builder did)
+    up_av_c = _upright_available_v(ty // 2, tx // 2, sc,
+                                   W // 2).astype(bool)
+    dl_av_c = _downleft_available_v(ty // 2, tx // 2, sc,
+                                    H // 2).astype(bool)
+    search = _search_fn(s, fast, nmodes, intra_quant)
+
+    def blk(plane, b):
+        return plane[:HB * b, :WB * b].reshape(HB, b, WB, b) \
+            .transpose(0, 2, 1, 3).reshape(-1, b, b)
+
+    def f(orgY, orgU, orgV, qpY, qpC, lam):
+        topY, leftY, tlY = _block_refs_dev(orgY, s, W, H, up_av, dl_av)
+        topU, leftU, tlU = _block_refs_dev(orgU, sc, W // 2, H // 2,
+                                           up_av_c, dl_av_c)
+        topV, leftV, tlV = _block_refs_dev(orgV, sc, W // 2, H // 2,
+                                           up_av_c, dl_av_c)
+        leftC = jnp.stack([leftU, leftV], 1)
+        topC = jnp.stack([topU, topV], 1)
+        bm, bc = search.__wrapped__(
+            blk(orgY.astype(jnp.int32), s), leftY, topY, tlY,
+            jnp.asarray(ty), jnp.asarray(tx),
+            blk(orgU.astype(jnp.int32), sc),
+            blk(orgV.astype(jnp.int32), sc), leftC, topC, tlU, tlV,
+            jnp.asarray(ty // 2), jnp.asarray(tx // 2), qpY, qpC, lam)
+        return bm.reshape(HB, WB), bc.reshape(HB, WB)
+
+    return jax.jit(f)
+
+
 @lru_cache(maxsize=None)
 def _search_fn(s: int, fast: bool, nmodes: int,
                intra_quant: bool = True):
@@ -124,10 +215,11 @@ def _search_fn(s: int, fast: bool, nmodes: int,
     zzc = zigzag_for(min(sc, 16))
     mbits = _intra_mode_bits(nmodes)
 
-    def plane_mode(blocks, pred, b, qp, zz):
+    def plane_mode(blocks, pred, b, qp, zz, chroma):
         resid = blocks - pred
         coeff = JK.fwd_transform_batch(resid, b, fast)
-        q, cbp = JK.quantize_fwd_batch(coeff, qp, b, intra_quant, zz)
+        q, cbp = JK.quantize_fwd_batch(coeff, qp, b, intra_quant, zz,
+                                       chroma)
         rec = _recon_from_q(pred, q, b, qp)
         ssd = ((blocks - rec) ** 2).sum(axis=(1, 2))
         return q, cbp.astype(jnp.int32), ssd
@@ -152,9 +244,12 @@ def _search_fn(s: int, fast: bool, nmodes: int,
                 lambda L, T, t, y, x: JK.intra_predict(
                     L, T, t, y, x, sc, mode))(
                 leftC[:, 1], topC[:, 1], tlV, tyc, txc)
-            qy, cy, sy_ = plane_mode(by, predY[:, :s, :s], s, qpY, zzy)
-            qu, cu, su_ = plane_mode(bu, predU[:, :sc, :sc], sc, qpC, zzc)
-            qv, cv, sv_ = plane_mode(bv, predV[:, :sc, :sc], sc, qpC, zzc)
+            qy, cy, sy_ = plane_mode(by, predY[:, :s, :s], s, qpY,
+                                     zzy, False)
+            qu, cu, su_ = plane_mode(bu, predU[:, :sc, :sc], sc,
+                                     qpC, zzc, True)
+            qv, cv, sv_ = plane_mode(bv, predV[:, :sc, :sc], sc,
+                                     qpC, zzc, True)
             qys.append(qy)
             qus.append(qu)
             qvs.append(qv)
@@ -194,33 +289,23 @@ def _search_fn(s: int, fast: bool, nmodes: int,
 def search_intra_frame(org, org_u, org_v, qp, qpC, lam, W, H, fast,
                        nmodes, intra_quant=True, return_costs=False):
     """Batched mode search + bottom-up split decisions. Returns
-    {size: mode_map}, split maps (and per-size cost maps on request)."""
-    modes = {}
-    costs = {}
+    {size: mode_map}, split maps (and per-size cost maps on request).
 
-    def blk(plane, b, HB, WB):
-        return plane[:HB * b, :WB * b].reshape(HB, b, WB, b) \
-            .transpose(0, 2, 1, 3).reshape(-1, b, b)
-
+    One device dispatch per size over the raw planes (refs + block
+    tiles are built in-program); all four sizes' maps come back in a
+    single batched fetch - through a high-RTT link eight blocking
+    per-map fetches cost more than the search itself."""
+    oy = jnp.asarray(org)
+    ou = jnp.asarray(org_u)
+    ov = jnp.asarray(org_v)
+    out = {}
     for s in (8, 16, 32, 64):
-        ty, tx, top, left, tl, _, _ = _block_refs_host(org, s, W, H)
-        sc = s // 2
-        tyc, txc, topU, leftU, tlU, _, _ = _block_refs_host(
-            org_u, sc, W // 2, H // 2)
-        _, _, topV, leftV, tlV, _, _ = _block_refs_host(
-            org_v, sc, W // 2, H // 2)
-        HB, WB = H // s, W // s
-        blocks = blk(org, s, HB, WB)
-        bu = blk(org_u, sc, HB, WB)
-        bv = blk(org_v, sc, HB, WB)
-        leftC = np.stack([leftU, leftV], 1)
-        topC = np.stack([topU, topV], 1)
-        bm, bc = _search_fn(s, fast, nmodes, intra_quant)(
-            blocks, left, top, tl, ty, tx,
-            bu, bv, leftC, topC, tlU, tlV, tyc, txc,
-            jnp.int32(qp), jnp.int32(qpC), jnp.float32(lam))
-        modes[s] = np.asarray(bm).reshape(HB, WB)
-        costs[s] = np.asarray(bc).reshape(HB, WB).astype(np.int64)
+        out[s] = _search_frame_fn(s, W, H, fast, nmodes, intra_quant)(
+            oy, ou, ov, jnp.int32(qp), jnp.int32(qpC),
+            jnp.float32(lam))
+    host = jax.device_get(out)
+    modes = {s: host[s][0] for s in out}
+    costs = {s: host[s][1].astype(np.int64) for s in out}
 
     # bottom-up split decisions (host, tiny)
     split = {}

@@ -348,4 +348,6 @@ def me_frame(org_y, refpad_stack, phases, lam_me, H, W):
     fn = _me_frame_fn(H, W, R)
     out = fn(jnp.asarray(org_y), jnp.asarray(refpad_stack), phases,
              jnp.float32(lam_me))
-    return {s: tuple(np.asarray(a) for a in v) for s, v in out.items()}
+    # one batched fetch: 24 per-map blocking fetches each pay the
+    # link RTT; device_get issues them concurrently
+    return jax.device_get(out)

@@ -99,7 +99,7 @@ def emit_frame_native(w, enc_params, leaves, bank_row, cbp3, banks, dd):
         leaf_arr[i] = LeafC(
             l.ypos, l.xpos, l.size, l.mode, l.mv[0], l.mv[1], l.ref,
             l.skip_idx, l.intra_mode, 1 if l.use_cbp else 0, l.k, l.idx,
-            l.mv1[0], l.mv1[1], l.ref1, l.dir)
+            l.mv1[0], l.mv1[1], l.ref1, l.dir, getattr(l, "tb", 0))
     keep = []
 
     def i16(a, shape):
@@ -145,16 +145,18 @@ class SizeMeasC(ctypes.Structure):
                 ("cbp_y", u8p), ("cbp_u", u8p), ("cbp_v", u8p),
                 ("intra_cost", i64p), ("intra_mode", i32p),
                 ("mvx1", i32p), ("mvy1", i32p), ("slot1", i32p),
+                ("ssd_tb", i64p), ("bits_tb", i32p),
+                ("cbp_tb_y", u8p), ("cbp_tb_u", u8p), ("cbp_tb_v", u8p),
                 ("K", ctypes.c_int32), ("N", ctypes.c_int32),
                 ("HB", ctypes.c_int32), ("WB", ctypes.c_int32),
-                ("K_uni", ctypes.c_int32)]
+                ("K_uni", ctypes.c_int32), ("has_tb", ctypes.c_int32)]
 
 
 class LeafC(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int32) for n in
                 ("ypos", "xpos", "size", "mode", "mvx", "mvy", "ref",
                  "skip_idx", "intra_mode", "use_cbp", "k", "idx",
-                 "mv1x", "mv1y", "ref1", "dir")]
+                 "mv1x", "mv1y", "ref1", "dir", "tb")]
 
 
 def decide_frame_native(W, H, num_ref, enable_bipred, interp_ref,
@@ -195,6 +197,13 @@ def decide_frame_native(W, H, num_ref, enable_bipred, interp_ref,
         m.HB = int(np.asarray(d["intra_cost"]).shape[0])
         m.WB = int(np.asarray(d["intra_cost"]).shape[1])
         m.K_uni = int(d["K_uni"])
+        if "ssd_tb" in d:
+            m.ssd_tb = arr("ssd_tb", np.int64).ctypes.data_as(i64p)
+            m.bits_tb = _i32(arr("bits_tb", np.int32))
+            m.cbp_tb_y = arr("cbp_tb_y", np.uint8).ctypes.data_as(u8p)
+            m.cbp_tb_u = arr("cbp_tb_u", np.uint8).ctypes.data_as(u8p)
+            m.cbp_tb_v = arr("cbp_tb_v", np.uint8).ctypes.data_as(u8p)
+            m.has_tb = 1
     maxl = (W // 8) * (H // 8 + 8)
     leaves = (LeafC * maxl)()
     n = lib().thor_decide_frame(

@@ -37,8 +37,14 @@ typedef struct {
     const int64_t *intra_cost;             /* [HB, WB] */
     const int32_t *intra_mode;             /* [HB, WB] */
     const int32_t *mvx1, *mvy1, *slot1;    /* [K, N] second list */
+    /* tb-split trial outputs (sizes > 8 on tb-enabled configs):
+       quadrant cbp masks carry bit (3-k) for quadrant k */
+    const int64_t *ssd_tb;                 /* [K, N] */
+    const int32_t *bits_tb;                /* [K, N] */
+    const uint8_t *cbp_tb_y, *cbp_tb_u, *cbp_tb_v; /* [K, N] masks */
     int32_t K, N, HB, WB;
     int32_t K_uni;         /* variants [K_uni, K) are bipred pairs */
+    int32_t has_tb;
 } SizeMeas;
 
 typedef struct {
@@ -46,6 +52,7 @@ typedef struct {
     int32_t mvx, mvy, ref;
     int32_t skip_idx, intra_mode, use_cbp, k, idx;
     int32_t mv1x, mv1y, ref1, dir;
+    int32_t tb;            /* INTER leaf codes its residual tb-split */
 } LeafOut;
 
 /* ------------------------------------------------------------------ */
@@ -275,16 +282,33 @@ static int quote_mv_bits(int dy, int dx)
 /* enc/write_bits.c:293 */
 static const int CBP_TABLE[8] = {1, 0, 5, 2, 6, 3, 7, 4};
 
-static int quote_cbp(int cy, int cu, int cv, int ctx_cbp0, int merge)
+static int quote_cbp(int cy, int cu, int cv, int ctx_cbp0, int merge,
+                     int tb_enabled)
 {
     int code = CBP_TABLE[cy + 2 * cu + 4 * cv];
     if (merge) {
         if (code == 1) code = 7;
         else if (code > 1) code -= 1;
-    } else if (ctx_cbp0 && code < 2) {
-        code = 1 - code;
+    } else {
+        if (ctx_cbp0 && code < 2) code = 1 - code;
+        if (tb_enabled && code > 1) code += 1;
     }
     return quote_vlc0(code);
+}
+
+/* tb_split payload header bits: the tb escape (code 2) plus four
+ * per-quadrant cbp codes (enc/write_bits.c:287-347, size > 8) */
+static int quote_cbp_tb(int my, int mu, int mv, int ctx_cbp0)
+{
+    int bits = quote_vlc0(2);
+    for (int k = 0; k < 4; k++) {
+        int sh = 3 - k;
+        int code = CBP_TABLE[((my >> sh) & 1) + 2 * ((mu >> sh) & 1)
+                             + 4 * ((mv >> sh) & 1)];
+        if (ctx_cbp0 && code < 2) code = 1 - code;
+        bits += quote_vlc0(code);
+    }
+    return bits;
 }
 
 static int skip_idx_bits(int nvec, int idx)
@@ -337,6 +361,8 @@ static int quote_super_mode(int size, BlockCtx bc, int num_ref,
 typedef struct {
     int W, H, num_ref, enable_bipred, interp_ref, use_block_contexts;
     int frame_type;        /* 0 I, 1 P, 2 B (BIPRED mv/ref coding) */
+    int tb_cfg;            /* config enables tb_split (shifts the
+                              INTER ntb cbp code space) */
     double lam, lam_me;
     SizeMeas meas[4];      /* sizes 8, 16, 32, 64 */
     DDm dd;
@@ -423,7 +449,7 @@ static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
         int cv = m->cbp_v[k * N + idx];
         if (cy || cu || cv) {
             int bits = sm_merge + skip_idx_bits(ncand, ci)
-                + quote_cbp(cy, cu, cv, ctx_cbp0, 1)
+                + quote_cbp(cy, cu, cv, ctx_cbp0, 1, 0)
                 + m->bits[k * N + idx];
             int64_t cost = m->ssd_coded[k * N + idx]
                 + (int64_t)(w->lam * bits + 0.5);
@@ -442,7 +468,8 @@ static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
         }
     }
 
-    /* INTER at the ME MV (k = 0), coded and zero-residual variants */
+    /* INTER at the ME MV (k = 0): coded, zero-residual and - on
+       tb-enabled configs for sizes > 8 - tb-split variants */
     {
         int mvx = m->mvx[idx], mvy = m->mvy[idx];
         int ref = m->slot[idx];
@@ -450,19 +477,35 @@ static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
         int smbits = quote_super_mode(s, bc, w->num_ref, w->enable_bipred,
                                       w->interp_ref, MODE_INTER, ref);
         int cy = m->cbp_y[idx], cu = m->cbp_u[idx], cv = m->cbp_v[idx];
-        int cbp0_bits = quote_cbp(0, 0, 0, ctx_cbp0, 0);
+        int tbe = w->tb_cfg;
+        int cbp0_bits = quote_cbp(0, 0, 0, ctx_cbp0, 0, tbe);
         int64_t cost_zero = m->ssd_pred[idx]
             + (int64_t)(w->lam * (smbits + mvbits + cbp0_bits) + 0.5);
         int64_t cost_coded = m->ssd_coded[idx]
             + (int64_t)(w->lam * (smbits + mvbits + m->bits[idx]
-                                  + quote_cbp(cy, cu, cv, ctx_cbp0, 0))
+                                  + quote_cbp(cy, cu, cv, ctx_cbp0, 0,
+                                              tbe))
                         + 0.5);
         int64_t cost;
-        int use_cbp;
+        int use_cbp, tb_pick = 0;
         if ((cy || cu || cv) && cost_coded < cost_zero) {
             cost = cost_coded; use_cbp = 1;
         } else {
             cost = cost_zero; use_cbp = 0;
+        }
+        if (m->has_tb) {
+            int my = m->cbp_tb_y[idx], mu = m->cbp_tb_u[idx];
+            int mvq = m->cbp_tb_v[idx];
+            if (my || mu || mvq) {
+                int64_t cost_tb = m->ssd_tb[idx]
+                    + (int64_t)(w->lam * (smbits + mvbits
+                                          + quote_cbp_tb(my, mu, mvq,
+                                                         ctx_cbp0)
+                                          + m->bits_tb[idx]) + 0.5);
+                if (cost_tb < cost) {
+                    cost = cost_tb; use_cbp = 1; tb_pick = 1;
+                }
+            }
         }
         if (best_cost < 0 || cost < best_cost) {
             best_cost = cost;
@@ -471,6 +514,7 @@ static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
             best.mode = MODE_INTER;
             best.mvx = mvx; best.mvy = mvy; best.ref = ref;
             best.idx = idx; best.use_cbp = use_cbp; best.k = 0;
+            best.tb = tb_pick;
         }
     }
 
@@ -480,7 +524,7 @@ static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
         int smbits = quote_super_mode(s, bc, w->num_ref,
                                       w->enable_bipred, w->interp_ref,
                                       MODE_BIPRED, 0);
-        int ctx_cbp0_bits = quote_cbp(0, 0, 0, ctx_cbp0, 0);
+        int ctx_cbp0_bits = quote_cbp(0, 0, 0, ctx_cbp0, 0, 0);
         for (int k = K_uni; k < K; k++) {
             int mv0x = m->mvx[k * N + idx], mv0y = m->mvy[k * N + idx];
             int mv1x = m->mvx1[k * N + idx], mv1y = m->mvy1[k * N + idx];
@@ -507,7 +551,7 @@ static int64_t leaf_candidates(Walk *w, int s, int y0, int x0, LeafOut *lf)
             int64_t cost_coded = m->ssd_coded[k * N + idx]
                 + (int64_t)(w->lam * (hdr + m->bits[k * N + idx]
                                       + quote_cbp(cy, cu, cv, ctx_cbp0,
-                                                  0)) + 0.5);
+                                                  0, 0)) + 0.5);
             int64_t cost;
             int use_cbp;
             if ((cy || cu || cv) && cost_coded < cost_zero) {
@@ -553,7 +597,11 @@ static void store_leaf(Walk *w, const LeafOut *lf)
     const SizeMeas *m = &w->meas[size_slot(lf->size)];
     int N = m->N;
     int cy = 0, cu = 0, cv = 0;
-    if (lf->use_cbp) {
+    if (lf->use_cbp && lf->tb) {
+        cy = m->cbp_tb_y[lf->k * N + lf->idx] != 0;
+        cu = m->cbp_tb_u[lf->k * N + lf->idx] != 0;
+        cv = m->cbp_tb_v[lf->k * N + lf->idx] != 0;
+    } else if (lf->use_cbp) {
         cy = m->cbp_y[lf->k * N + lf->idx];
         cu = m->cbp_u[lf->k * N + lf->idx];
         cv = m->cbp_v[lf->k * N + lf->idx];
@@ -633,6 +681,7 @@ int thor_decide_frame(
     w.lam = lam; w.lam_me = lam_me;
     for (int i = 0; i < 4; i++)
         w.meas[i] = meas4[i];
+    w.tb_cfg = meas4[1].has_tb || meas4[2].has_tb || meas4[3].has_tb;
     int gh = H / MIN_PB_SIZE, gw = W / MIN_PB_SIZE;
     int32_t *cells = (int32_t *)calloc((size_t)gh * gw * 12,
                                        sizeof(int32_t));
@@ -961,7 +1010,7 @@ typedef struct {
 static void ddo_store(Emit *e, int ypos, int xpos, int size, int mode,
                       int cy, int cu, int cv, int32_t mv0x, int32_t mv0y,
                       int32_t mv1x, int32_t mv1y, int ref0, int ref1,
-                      int dirf)
+                      int dirf, int tb)
 {
     /* mirror both the walk's scratch map (for candidate derivation)
        and the caller's DeblockData arrays (store_deblock_data) */
@@ -976,7 +1025,7 @@ static void ddo_store(Emit *e, int ypos, int xpos, int size, int mode,
         for (int q = 0; q < n; q++, f++) {
             o->mode[f] = mode;
             o->size[f] = size;
-            o->tb_split[f] = 0;
+            o->tb_split[f] = tb ? 1 : 0;
             o->pb_part[f] = 0;
             o->cbp_y[f] = cy;
             o->cbp_u[f] = cu;
@@ -994,10 +1043,14 @@ static void ddo_store(Emit *e, int ypos, int xpos, int size, int mode,
 
 static void emit_cbp_and_coeffs(Emit *e, const LeafOut *lf, int cy,
                                 int cu, int cv, int merge, BlockCtx bc,
-                                const BankC *bank, int row, int intra)
+                                const BankC *bank, int row, int intra,
+                                int tb)
 {
     /* merge: 0 normal, 1 MERGE (tb1 + merge cbp remap),
-       2 BIPRED (tb1, normal cbp remap) */
+       2 BIPRED (tb1, normal cbp remap).
+       tb: INTER tb_split payload - cy/cu/cv are 4-bit quadrant masks
+       (bit 3-k) and the bank row holds the quadrant-layout coeffs
+       (enc/write_bits.c size > 8 tb branch). */
     BW *w = &e->w;
     int size = lf->size;
     int coeff_type = (intra ? 1 : 0) << 1;
@@ -1005,6 +1058,39 @@ static void emit_cbp_and_coeffs(Emit *e, const LeafOut *lf, int cy,
     if (merge) max_tb = 1;
     else if (!intra) max_tb = e->p.max_num_tb_part > 1 ? 2 : 1;
     else max_tb = e->p.max_num_tb_part;
+
+    if (tb) {
+        const int16_t *qy = bank->qy
+            + (size_t)row * bank->ydim * bank->ydim;
+        const int16_t *qu = bank->qu
+            + (size_t)row * bank->cdim * bank->cdim;
+        const int16_t *qv = bank->qv
+            + (size_t)row * bank->cdim * bank->cdim;
+        int s2 = size / 2, s4 = size / 4;
+        put_vlc_c(0, 2, w);            /* tb_split escape */
+        for (int k = 0; k < 4; k++) {
+            int sh = 3 - k;
+            int qi = (k >> 1) & 1, qj = k & 1;
+            int ccy = (cy >> sh) & 1, ccu = (cu >> sh) & 1,
+                ccv = (cv >> sh) & 1;
+            int code = CBP_TABLE[ccy + 2 * ccu + 4 * ccv];
+            if (bc.cbp == 0 && code < 2) code = 1 - code;
+            put_vlc_c(0, code, w);
+            if (ccy)
+                write_coeff_c(w, qy + (size_t)(qi * s2) * bank->ydim
+                              + qj * s2, bank->ydim, s2,
+                              coeff_type | 0);
+            if (ccu)
+                write_coeff_c(w, qu + (size_t)(qi * s4) * bank->cdim
+                              + qj * s4, bank->cdim, s4,
+                              coeff_type | 1);
+            if (ccv)
+                write_coeff_c(w, qv + (size_t)(qi * s4) * bank->cdim
+                              + qj * s4, bank->cdim, s4,
+                              coeff_type | 1);
+        }
+        return;
+    }
 
     int cbp = cy + (cu << 1) + (cv << 2);
     int code = CBP_TABLE[cbp];
@@ -1073,9 +1159,18 @@ static void emit_rec(Emit *e, int s, int y0, int x0)
     if (s == MAX_BLOCK_SIZE && lf->mode != MODE_SKIP && p->max_delta_qp)
         put_vlc_c(0, 0, &e->w);       /* unsplit 64 leaf: dqp = 0 */
 
-    int cy = (e->cbp3[li] >> 0) & 1;
-    int cu = (e->cbp3[li] >> 1) & 1;
-    int cv = (e->cbp3[li] >> 2) & 1;
+    int tb = lf->tb;
+    int cy, cu, cv;
+    if (tb) {
+        /* tb leaf: cbp3 packs the three 4-bit quadrant masks */
+        cy = e->cbp3[li] & 15;
+        cu = (e->cbp3[li] >> 4) & 15;
+        cv = (e->cbp3[li] >> 8) & 15;
+    } else {
+        cy = (e->cbp3[li] >> 0) & 1;
+        cu = (e->cbp3[li] >> 1) & 1;
+        cv = (e->cbp3[li] >> 2) & 1;
+    }
     int row = e->bank_row[li];
 
     if (lf->mode == MODE_INTRA) {
@@ -1090,9 +1185,9 @@ static void emit_rec(Emit *e, int s, int y0, int x0)
             bw_put(&e->w, IM_LEN10[code], IM_CODE10[code]);
         }
         emit_cbp_and_coeffs(e, lf, cy, cu, cv, 0, bc, &e->banks[4],
-                            row, 1);
+                            row, 1, 0);
         ddo_store(e, y0, x0, s, MODE_INTRA, cy, cu, cv,
-                  0, 0, 0, 0, 0, 0, -1);
+                  0, 0, 0, 0, 0, 0, -1, 0);
         return;
     }
 
@@ -1110,11 +1205,11 @@ static void emit_rec(Emit *e, int s, int y0, int x0)
         }
         if (lf->mode == MODE_MERGE)
             emit_cbp_and_coeffs(e, lf, cy, cu, cv, 1, bc,
-                                &e->banks[size_slot(s)], row, 0);
+                                &e->banks[size_slot(s)], row, 0, 0);
         ddo_store(e, y0, x0, s, lf->mode, lf->use_cbp ? cy : 0,
                   lf->use_cbp ? cu : 0, lf->use_cbp ? cv : 0,
                   c->mv0x, c->mv0y, c->mv1x, c->mv1y,
-                  c->ref_idx0, c->ref_idx1, c->bipred_flag);
+                  c->ref_idx0, c->ref_idx1, c->bipred_flag, 0);
         return;
     }
 
@@ -1138,14 +1233,14 @@ static void emit_rec(Emit *e, int s, int y0, int x0)
         }
         if (lf->use_cbp)
             emit_cbp_and_coeffs(e, lf, cy, cu, cv, 2, bc,
-                                &e->banks[size_slot(s)], row, 0);
+                                &e->banks[size_slot(s)], row, 0, 0);
         else
             emit_cbp_and_coeffs(e, lf, 0, 0, 0, 2, bc,
-                                &e->banks[size_slot(s)], row, 0);
+                                &e->banks[size_slot(s)], row, 0, 0);
         ddo_store(e, y0, x0, s, MODE_BIPRED, lf->use_cbp ? cy : 0,
                   lf->use_cbp ? cu : 0, lf->use_cbp ? cv : 0,
                   lf->mvx, lf->mvy, lf->mv1x, lf->mv1y,
-                  lf->ref, lf->ref1, 2);
+                  lf->ref, lf->ref1, 2, 0);
         return;
     }
 
@@ -1155,13 +1250,13 @@ static void emit_rec(Emit *e, int s, int y0, int x0)
     write_mv_c(&e->w, lf->mvx, lf->mvy, mvpx, mvpy);
     if (lf->use_cbp)
         emit_cbp_and_coeffs(e, lf, cy, cu, cv, 0, bc,
-                            &e->banks[size_slot(s)], row, 0);
+                            &e->banks[size_slot(s)], row, 0, tb);
     else
         emit_cbp_and_coeffs(e, lf, 0, 0, 0, 0, bc,
-                            &e->banks[size_slot(s)], row, 0);
-    ddo_store(e, y0, x0, s, MODE_INTER, lf->use_cbp ? cy : 0,
-              lf->use_cbp ? cu : 0, lf->use_cbp ? cv : 0,
-              lf->mvx, lf->mvy, 0, 0, lf->ref, 0, 0);
+                            &e->banks[size_slot(s)], row, 0, 0);
+    ddo_store(e, y0, x0, s, MODE_INTER, lf->use_cbp ? (cy != 0) : 0,
+              lf->use_cbp ? (cu != 0) : 0, lf->use_cbp ? (cv != 0) : 0,
+              lf->mvx, lf->mvy, 0, 0, lf->ref, 0, 0, tb);
 }
 
 /* Entry: emits the SB payload for the decided frame. Returns the

@@ -999,10 +999,12 @@ def fwd_transform_batch(resid, size: int, fast: bool = False):
 
 
 def quantize_fwd_batch(coeff, qp, size: int, intra: bool,
-                       zigzag_inv):
-    """Vectorized forward quantizer (the non-RDOQ core of
-    enc/encode_block.c:75-132): zigzag scan, last-pos search with the
-    38/-26 offsets, forward quant with the 102/51 / 115/90 offsets.
+                       zigzag_inv, chroma: bool = False):
+    """Vectorized forward quantizer (enc/encode_block.c:75-172):
+    zigzag scan, last-pos search with the 38/-26 offsets, forward
+    quant with the 102/51 / 115/90 offsets (chroma always uses the
+    low offset), then the unconditional 'RDOQ light' zero-run pass
+    (enc/encode_block.c:134-168) as a lax.scan over scan positions.
 
     coeff: [N, size, size]; qp: python int OR traced int32 scalar (so
     jitted callers compile once across the GOP's QP cascade);
@@ -1010,7 +1012,7 @@ def quantize_fwd_batch(coeff, qp, size: int, intra: bool,
     scoeff[zz[i*q+j]] = coeff[i,j]. Returns ([N, size, size] levels,
     [N] cbp flags).
     """
-    from ..codec.constants import GQUANT_TABLE
+    from ..codec.constants import GQUANT_TABLE, GDEQUANT_TABLE
     qsize = min(size, 16)
     Nc = qsize * qsize
     tr_log2size = int(np.log2(size))
@@ -1034,12 +1036,62 @@ def quantize_fwd_batch(coeff, qp, size: int, intra: bool,
     sign = jnp.where(scoeff < 0, -1, 1)
     absc = scale * jnp.abs(scoeff)
     level0 = absc >> shift2
-    off = jnp.where(level0 == 0, off0, off1)
+    off = jnp.where((level0 == 0) | chroma, off0, off1)
     level = (absc + off) >> shift2
     q = jnp.where(pos_idx[None, :] <= last_pos[:, None],
                   sign * level, 0)
     cbp = (q != 0).any(axis=1)
+    q = _rdoq_light(q, scoeff, last_pos, qp, tr_log2size, Nc, chroma)
+    q = jnp.where(cbp[:, None], q, 0)
     out = jnp.zeros((coeff.shape[0], size, size), jnp.int16)
     out = out.at[:, :qsize, :qsize].set(
         q[:, zz].reshape(-1, qsize, qsize).astype(jnp.int16))
     return out, cbp
+
+
+def _rdoq_light(q, scoeff, last_pos, qp, tr_log2size, Nc, chroma):
+    """The reference's unconditional zero-run adjustment
+    (enc/encode_block.c:134-168), batched over blocks: a lax.scan in
+    scan-position order carrying the last-4 level window (steps only
+    read/modify positions pos-2..pos, so position pos-2 is final when
+    step pos completes)."""
+    from jax import lax
+    from ..codec.constants import GDEQUANT_TABLE
+    thr = (73 * jnp.asarray(np.asarray(GDEQUANT_TABLE,
+                                       np.int32))[qp % 6]
+           << (qp // 6)) >> (4 + tr_log2size)
+    B = q.shape[0]
+    nn = jnp.where(jnp.bool_(chroma), last_pos + 1, Nc)     # [B]
+    absc = jnp.abs(scoeff)
+    sgn = jnp.where(scoeff < 0, -1, 1)
+
+    def step(carry, xs):
+        qm4, qm3, qm2, qm1 = carry
+        pos, qcur, c0, c1, c2, s0, s1, s2 = xs
+        flag = jnp.ones((B,), bool)
+        flag &= ~((pos > 2) & (jnp.abs(qm3) > 1))
+        flag &= ~((pos > 3) & (jnp.abs(qm4) > 1) & (jnp.abs(qm3) > 0))
+        flag &= ~((pos == 2) & ((not chroma) | (last_pos >= 6)))
+        act = (flag & (qm2 == 0) & (qm1 == 0) & (jnp.abs(qcur) > 1)
+               & (pos < nn))
+        k4 = jnp.maximum(c1, c2)
+        move_cur = act & (c0 + k4 < thr)
+        move_m1 = act & ~move_cur & (c1 > c2)
+        move_m2 = act & ~move_cur & ~(c1 > c2)
+        qcur = jnp.where(move_cur, s0, qcur)
+        qm1 = jnp.where(move_m1, s1, qm1)
+        qm2 = jnp.where(move_m2, s2, qm2)
+        return (qm3, qm2, qm1, qcur), qm2
+
+    zerosB = jnp.zeros((B,), q.dtype)
+    pos_seq = jnp.arange(2, Nc, dtype=jnp.int32)
+    xs = (pos_seq, q[:, 2:].T, absc[:, 2:].T,
+          absc[:, 1:Nc - 1].T, absc[:, :Nc - 2].T,
+          sgn[:, 2:].T, sgn[:, 1:Nc - 1].T, sgn[:, :Nc - 2].T)
+    (qm4, qm3, qm2, qm1), outs = lax.scan(
+        step, (zerosB, zerosB, q[:, 0], q[:, 1]), xs)
+    # outs[i] = final value of position i (emitted as qm2 at step
+    # pos=i+2); positions Nc-2, Nc-1 come from the final carry
+    return jnp.concatenate(
+        [outs.T, qm2[:, None], qm1[:, None]], axis=1) \
+        if Nc > 2 else q
