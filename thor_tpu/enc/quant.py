@@ -3,7 +3,7 @@
 Array-first implementation: zigzag, last-pos search and the forward
 quant are vectorized; the pattern-based single-coefficient rescue loop
 is inherently sequential but short. The full trellis RDOQ (rdoq=1,
-enc/encode_block.c:179-472) lives in rdoq.py.
+enc/encode_block.c:179-472) is _rdoq below.
 """
 
 from __future__ import annotations
