@@ -89,6 +89,15 @@ def child_decode_device():
     print(json.dumps({"fps": round(n / best, 2), "frames": n}))
 
 
+def child_link():
+    """Host<->device link bandwidth + the implied e2e floor: decoding
+    1080p to host YUV must ship W*H*3/2 bytes per frame over the
+    device->host link, so floor_fps = d2h_bandwidth / frame_bytes.
+    Through the axon tunnel this - not device compute - caps e2e."""
+    from tools.link_profile import measure_link
+    print(json.dumps(measure_link(1920 * 1080 * 3 // 2)))
+
+
 def child_synth():
     """Steady-state synthetic inter-only device microbench (the round-1
     metric, kept for continuity)."""
@@ -233,6 +242,17 @@ def main():
         else:
             notes.append(err)
 
+    if on_tpu and os.environ.get("THOR_BENCH_LINK", "1") != "0":
+        lk, err = _run_child("link", 900, env)
+        if lk is not None:
+            out["link_floor_fps"] = lk["link_floor_fps"]
+            out["d2h_MBps"] = lk["d2h_MBps"]
+            if out.get("value"):
+                out["e2e_pct_of_link_floor"] = round(
+                    100.0 * out["value"] / lk["link_floor_fps"], 1)
+        else:
+            notes.append(err)
+
     if os.environ.get("THOR_BENCH_SYNTH", "1") != "0":
         syn, err = _run_child("synth", 900 if on_tpu else 2400, env)
         if syn is not None:
@@ -257,7 +277,7 @@ if __name__ == "__main__":
         for k, v in CACHE_ENV.items():
             os.environ.setdefault(k, v)
         {"probe": child_probe, "decode": child_decode,
-         "decode_device": child_decode_device,
+         "decode_device": child_decode_device, "link": child_link,
          "synth": child_synth, "encode": child_encode}[sys.argv[2]]()
     else:
         main()

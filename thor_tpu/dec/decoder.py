@@ -121,6 +121,14 @@ class Decoder:
 
     def decode_stream(self, path: str):
         """Yield (y, u, v) frames in display order."""
+        import os
+        if (self.backend == "jax" and self.parse_mode == "native"
+                and self.stats is None
+                and os.environ.get("THOR_PIPELINE", "1") not in ("0", "")):
+            from .reconstruct_jax import use_fused
+            if use_fused():
+                yield from self._decode_stream_pipelined(path)
+                return
         frames = iter_frames(path)
         first = True
         reorder: dict = {}
@@ -169,6 +177,158 @@ class Decoder:
                 yield tuple(np.asarray(p) for p in reorder.pop(nxt))
             else:
                 break
+
+    def _decode_stream_pipelined(self, path: str):
+        """Deep-pipelined native+fused decode (the production path).
+
+        Three overlapped stages hide both the host work and the
+        device->host transfer latency of a tunneled chip:
+          - a parse thread runs the serial C entropy parse, tracking
+            the reference frame-number window itself;
+          - a worker pool builds the vectorized device inputs for
+            parsed frames ahead of time (everything except the ref
+            plane handles, which depend on in-flight dispatches);
+          - the main thread inserts ref handles, dispatches the fused
+            frame program, and materializes output frames
+            THOR_PIPELINE_DEPTH (default 4) frames behind the dispatch
+            front so each packed fetch has depth x frame-time to
+            complete in the background.
+        dec/maindec.c:167-195 is one serial loop; this isn't.
+        """
+        import os
+        import queue
+        import threading
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..native import parse_frame
+        from .native_adapter import seqhdr_from_python
+        from .native_inputs import (build_frame_inputs_meta,
+                                    insert_ref_planes)
+        from .reconstruct_jax import _run_frame
+
+        depth = int(os.environ.get("THOR_PIPELINE_DEPTH", "4"))
+        payloads = iter_frames(path)
+        first = next(payloads, None)
+        if first is None:
+            return
+        br = BitReader(first)
+        self.seq = SequenceHeader.read(br)
+        seq = self.seq
+        self.refs = [RefFrame(
+            np.zeros((seq.height, seq.width), np.uint8),
+            np.zeros((seq.height // 2, seq.width // 2), np.uint8),
+            np.zeros((seq.height // 2, seq.width // 2), np.uint8),
+            0) for _ in range(MAX_REF_FRAMES)]
+        cs = seqhdr_from_python(seq)
+
+        q: queue.Queue = queue.Queue(maxsize=depth + 2)
+        stop = threading.Event()
+        pool = ThreadPoolExecutor(max_workers=2)
+
+        def producer():
+            try:
+                nums = [0] * MAX_REF_FRAMES
+                payload, pos = first, br.pos
+                while True:
+                    nf = parse_frame(payload, pos, cs, nums)
+                    fut = pool.submit(
+                        build_frame_inputs_meta, nf, seq, list(nums),
+                        nf.hdr.display_frame_num, seq.deblocking)
+                    item = (nf, fut)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                    nums = [nf.hdr.display_frame_num] + nums[:-1]
+                    nxt = next(payloads, None)
+                    if nxt is None:
+                        break
+                    payload, pos = nxt, 0
+                q.put(None)
+            except BaseException as e:           # noqa: BLE001
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        reorder: dict = {}
+        last_output = -1
+        ready: deque = deque()
+        W, H = seq.width, seq.height
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                nf, fut = item
+                fh = nf.hdr
+                if fh.interp_ref_frame and fh.num_ref > 2 \
+                        and fh.ref_array[0] == -1:
+                    self._make_interp_frame_native(fh)
+                cfg, inp, slots = fut.result()
+                insert_ref_planes(inp, slots, self.refs,
+                                  self.interp_frame)
+                yd, ud, vd, packed = _run_frame(cfg, inp)
+                fetch = _PackedFetch(packed)
+                fetch.start()
+                views = tuple(_PlaneView(fetch, i, H, W)
+                              for i in range(3))
+                self.refs = [_DeviceRef(yd, ud, vd,
+                                        fh.display_frame_num,
+                                        padded=True)] + self.refs[:-1]
+                reorder[fh.display_frame_num % MAX_REORDER_BUFFER] = views
+                while True:
+                    nxt = (last_output + 1) % MAX_REORDER_BUFFER
+                    if nxt not in reorder:
+                        break
+                    last_output += 1
+                    ready.append(reorder.pop(nxt))
+                while len(ready) > depth:
+                    yield tuple(np.asarray(p)
+                                for p in ready.popleft())
+            while ready:
+                yield tuple(np.asarray(p) for p in ready.popleft())
+            for i in range(1, MAX_REORDER_BUFFER + 1):
+                nxt = (last_output + i) % MAX_REORDER_BUFFER
+                if nxt in reorder:
+                    yield tuple(np.asarray(p)
+                                for p in reorder.pop(nxt))
+                else:
+                    break
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)
+
+    def _make_interp_frame_native(self, fh):
+        """Interp-ref resynthesis from the native frame header
+        (dec/decode_frame.c:91-109); blocks on the two source refs."""
+        from ..ops.temporal_interp import interpolate_frames
+
+        class _HostRef:
+            def __init__(self, r):
+                self.frame_num = r.frame_num
+                self.y = np.asarray(r.y)
+                self.u = np.asarray(r.u)
+                self.v = np.asarray(r.v)
+
+        ref1 = _HostRef(self.refs[fh.ref_array[1]])
+        ref2 = _HostRef(self.refs[fh.ref_array[2]])
+        dfn = fh.display_frame_num
+        off1 = ref2.frame_num - dfn
+        off2 = dfn - ref1.frame_num
+        if off1 < 0 and off2 < 0:
+            off1, off2 = -off1, -off2
+        if off1 == off2:
+            off1 = off2 = 1
+        y, u, v = interpolate_frames(ref1, ref2, off1 + off2, off2)
+        self.interp_frame = RefFrame(y, u, v, dfn)
 
     def decode_frame(self, br: BitReader):
         seq = self.seq

@@ -326,40 +326,65 @@ def build_mc_pus_native(nf, R, fnum, cur, W, H):
             for k, v in out.items()}
 
 
+def insert_ref_planes(inp, slots, refs, interp_frame):
+    """Insert the actual reference plane handles for build_frame_inputs_meta
+    output. Separated from the meta build because the handles depend on
+    previously dispatched frames (pipelined decode builds inputs for
+    frame n+1 in a worker thread while frame n is still in flight)."""
+    if not slots:
+        return
+    planes = [refs[r] if r >= 0 else interp_frame for r in slots]
+    from .reconstruct_jax import use_fused
+    if use_fused():
+        # the fused program stacks the reference planes in-jit:
+        # no separate stack dispatch, device-resident refs never
+        # touch the host
+        inp["refYs"] = tuple(p.y for p in planes)
+        inp["refUs"] = tuple(p.u for p in planes)
+        inp["refVs"] = tuple(p.v for p in planes)
+    else:
+        import jax
+        import jax.numpy as jnp
+        stack = jnp.stack if isinstance(planes[0].y, jax.Array) \
+            else np.stack
+        inp["refY"] = stack([p.y for p in planes])
+        inp["refU"] = stack([p.u for p in planes])
+        inp["refV"] = stack([p.v for p in planes])
+
+
 def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
     """NativeFrame -> (FrameConfig, device inputs), fully vectorized."""
+    ref_nums = [r.frame_num for r in refs]
+    interp_num = interp_frame.frame_num if interp_frame is not None \
+        else nf.hdr.display_frame_num
+    cfg, inp, slots = build_frame_inputs_meta(nf, seq, ref_nums,
+                                              interp_num, deblocking)
+    insert_ref_planes(inp, slots, refs, interp_frame)
+    return cfg, inp
+
+
+def build_frame_inputs_meta(nf, seq, ref_frame_nums, interp_frame_num,
+                            deblocking):
+    """Everything in build_frame_inputs_native except the reference
+    plane handles: depends only on the parsed frame + the sliding
+    window of reference display frame numbers, so it can run ahead of
+    the device dispatch in a worker thread. Returns (cfg, inp, slots)
+    where slots lists the ref_array indices (length Rpad, -1 = interp
+    frame) whose plane handles insert_ref_planes must add."""
     W, H = seq.width, seq.height
     fh = nf.hdr
     dd = nf.dd
     inp = {}
+    slots = []
 
     R = fh.num_ref
     if R > 0:
         Rpad = max(seq.max_num_ref + (1 if seq.interp_ref else 0), R)
-        planes = []
-        for i in range(R):
-            r = fh.ref_array[i]
-            planes.append(refs[r] if r >= 0 else interp_frame)
-        while len(planes) < Rpad:
-            planes.append(planes[0])
-        from .reconstruct_jax import use_fused
-        if use_fused():
-            # the fused program stacks the reference planes in-jit:
-            # no separate stack dispatch, device-resident refs never
-            # touch the host
-            inp["refYs"] = tuple(p.y for p in planes)
-            inp["refUs"] = tuple(p.u for p in planes)
-            inp["refVs"] = tuple(p.v for p in planes)
-        else:
-            import jax
-            import jax.numpy as jnp
-            stack = jnp.stack if isinstance(planes[0].y, jax.Array) \
-                else np.stack
-            inp["refY"] = stack([p.y for p in planes])
-            inp["refU"] = stack([p.u for p in planes])
-            inp["refV"] = stack([p.v for p in planes])
-
-        fnum = np.array([p.frame_num for p in planes], np.int64)
+        slots = [fh.ref_array[i] for i in range(R)]
+        while len(slots) < Rpad:
+            slots.append(slots[0])
+        fnum = np.array([ref_frame_nums[r] if r >= 0 else
+                         interp_frame_num for r in slots], np.int64)
         cur = fh.display_frame_num
         slot0 = np.clip(dd["ref_idx0"], 0, R - 1).astype(np.int32)
         slot1 = np.clip(dd["ref_idx1"], 0, R - 1).astype(np.int32)
@@ -570,7 +595,7 @@ def build_frame_inputs_native(nf, seq, refs, interp_frame, deblocking):
         deblocking=bool(deblocking), clpf=clpf_any,
         groups_y=tuple(groups_y), groups_c=tuple(groups_c),
         n_intra_y=n_iy, n_intra_c=n_ic, mc_my=mc_my, mc_mc=mc_mc)
-    return cfg, inp
+    return cfg, inp, slots
 
 
 def _clpf_masks_native(nf, W, H):
