@@ -124,6 +124,21 @@ def child_synth():
     print(json.dumps({"fps": round(iters / best, 2)}))
 
 
+def child_encode_device(n_frames=6):
+    """Device-only 1080p encode throughput: the replayed pure device
+    pipeline (phases+ME+trials+intra search+final+filters) dispatched
+    back-to-back with the reference chain device-resident and one sync
+    at the end - the encode twin of child_decode_device."""
+    from tools.device_encode_fps import measure
+    yuv = ROOT / "testdata" / "test_1080.yuv"
+    if not yuv.exists():
+        subprocess.run([sys.executable, "gen_input_1080.py"],
+                       cwd=ROOT / "testdata", check=True)
+    n, best = measure(str(yuv), 1920, 1080, n_frames,
+                      "/root/reference/config_LDB_low_complexity.txt")
+    print(json.dumps({"fps": round(n / best, 2), "frames": n}))
+
+
 def child_encode(n_frames=6):
     """1080p device-encode throughput (LDB low complexity, batched
     device ME + trial RDO P-frames, exact host syntax).
@@ -263,7 +278,15 @@ def main():
     if os.environ.get("THOR_BENCH_ENCODE", "1") != "0":
         enc, err = _run_child("encode", 2400 if on_tpu else 7200, env)
         if enc is not None:
-            out["1080p_device_encode_fps"] = enc["fps"]
+            out["1080p_encode_e2e_fps"] = enc["fps"]
+        else:
+            notes.append(err)
+        enc, err = _run_child("encode_device", 2400 if on_tpu else 7200,
+                              env)
+        if enc is not None:
+            out["encode_device_fps"] = enc["fps"]
+            out["encode_device_vs_baseline"] = round(enc["fps"] / 60.0,
+                                                     3)
         else:
             notes.append(err)
 
@@ -278,6 +301,7 @@ if __name__ == "__main__":
             os.environ.setdefault(k, v)
         {"probe": child_probe, "decode": child_decode,
          "decode_device": child_decode_device, "link": child_link,
-         "synth": child_synth, "encode": child_encode}[sys.argv[2]]()
+         "synth": child_synth, "encode": child_encode,
+         "encode_device": child_encode_device}[sys.argv[2]]()
     else:
         main()

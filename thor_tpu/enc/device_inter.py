@@ -253,6 +253,99 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
 
 
 @lru_cache(maxsize=None)
+def _measure_fn(H: int, W: int, R: int, has_bi: bool, bslot0: int,
+                bslot1: int, seq_bipred: int):
+    """ONE jitted measurement program: all-phase interpolation planes,
+    whole-frame ME, stream-domain sign folding and per-size motion
+    variant construction (ME MV, left / up-right neighbour MVs, zero
+    MV per ref, bipred pairs) - everything between the org/ref upload
+    and the per-size trial coding, with no host round trip.
+
+    Replaces the separate phases -> ME(fetch) -> host variant build ->
+    trials pipeline (round-3 verdict: the per-stage round trips were
+    the 400x encode gap's first factor)."""
+    lutY = JK.build_luma_mc_lut(seq_bipred)
+    lutC = JK.build_chroma_mc_lut()
+    me_body = DM.me_frame_body(H, W, R)
+
+    def f(orgY, refY, refU, refV, sign, sign_bi, lam_me):
+        phY = JK.mc_phase_conv(refY, lutY, PAD)
+        phU = JK.mc_phase_conv(refU, lutC, PAD_C)
+        phV = JK.mc_phase_conv(refV, lutC, PAD_C)
+        me = me_body(orgY, refY, phY, lam_me)
+        variants = {}
+        for s in SIZES:
+            HB, WB = H // s, W // s
+            qy, qx, slot, _, ry, rx = me[s]
+            # ME searches the reference planes directly (visual MVs);
+            # fold to the stream domain: uni MVs by their chosen
+            # slot's sign, per-ref MVs by their own slot's BIPRED sign
+            # (they only feed bipred variants).
+            sg = sign[slot] != 0
+            mvy = jnp.where(sg, -qy, qy)
+            mvx = jnp.where(sg, -qx, qx)
+            sgb = sign_bi[:, None] != 0
+            ry = jnp.where(sgb, -ry, ry)
+            rx = jnp.where(sgb, -rx, rx)
+
+            def neigh(a, di, dj):
+                """(di, dj)-offset neighbour block value (zero at
+                frame edges)."""
+                g = a.reshape(HB, WB)
+                out = jnp.zeros_like(g)
+                rs = slice(max(di, 0), HB + min(di, 0))
+                cs = slice(max(dj, 0), WB + min(dj, 0))
+                rsrc = slice(max(-di, 0), HB + min(-di, 0))
+                csrc = slice(max(-dj, 0), WB + min(-dj, 0))
+                out = out.at[rs, cs].set(g[rsrc, csrc])
+                return out.reshape(-1)
+
+            var_y = [mvy, neigh(mvy, 0, 1), neigh(mvy, 1, -1)]
+            var_x = [mvx, neigh(mvx, 0, 1), neigh(mvx, 1, -1)]
+            var_s = [slot, neigh(slot, 0, 1), neigh(slot, 1, -1)]
+            zero = jnp.zeros_like(mvy)
+            for r in range(R):
+                var_y.append(zero)
+                var_x.append(zero)
+                var_s.append(jnp.full_like(slot, r))
+            K_uni = len(var_y)
+            var_y1 = [zero] * K_uni
+            var_x1 = [zero] * K_uni
+            var_s1 = [zero] * K_uni
+            var_bi = [zero] * K_uni
+            if has_bi:
+                one = jnp.ones_like(mvy)
+                # bi pair from the per-ref ME (approximates the
+                # converged iterative 2-list search), its neighbours
+                # (skip/merge candidates propagate decided bi pairs),
+                # and zero-zero
+                bpairs = [
+                    (ry[bslot0], rx[bslot0], ry[bslot1], rx[bslot1]),
+                    (neigh(ry[bslot0], 0, 1), neigh(rx[bslot0], 0, 1),
+                     neigh(ry[bslot1], 0, 1), neigh(rx[bslot1], 0, 1)),
+                    (neigh(ry[bslot0], 1, -1), neigh(rx[bslot0], 1, -1),
+                     neigh(ry[bslot1], 1, -1), neigh(rx[bslot1], 1, -1)),
+                    (zero, zero, zero, zero),
+                ]
+                for (y0v, x0v, y1v, x1v) in bpairs:
+                    var_y.append(y0v)
+                    var_x.append(x0v)
+                    var_s.append(jnp.full_like(slot, bslot0))
+                    var_y1.append(y1v)
+                    var_x1.append(x1v)
+                    var_s1.append(jnp.full_like(slot, bslot1))
+                    var_bi.append(one)
+            variants[s] = {
+                'mvy': jnp.stack(var_y), 'mvx': jnp.stack(var_x),
+                'slot': jnp.stack(var_s), 'mvy1': jnp.stack(var_y1),
+                'mvx1': jnp.stack(var_x1), 'slot1': jnp.stack(var_s1),
+                'bi': jnp.stack(var_bi)}
+        return phY, phU, phV, variants
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
 def _pack_out_fn(H: int, W: int):
     """[3H/2, W] uint8 packed recon (Y on top, U|V below) for a single
     device->host fetch."""
@@ -407,6 +500,186 @@ def _final_mc_fn(H: int, W: int, has_bi: bool = False):
         return y, u, v
 
     return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _filter_fn(H: int, W: int, deblocking: bool, clpf: bool):
+    """Jitted in-loop filter + output stage: deblock, CLPF decision
+    (the encoder's SSD rule, enc/encode_frame.c:50-61 + detect_clpf
+    enc/encode_block.c:3036) and masked apply, packed-recon output and
+    edge-padded reference planes - so the reconstructed reference never
+    crosses the host link and the next frame's ME/MC reads it in place.
+
+    Returns (packed [3H/2, W] uint8, bit_sb [SBH, SBW] bool,
+    refY/refU/refV padded uint8 planes)."""
+    Hc, Wc = H // 2, W // 2
+    SBH, SBW = H // MAX_BLOCK_SIZE, W // MAX_BLOCK_SIZE
+    h8, w8 = SBH * 8, SBW * 8
+
+    def f(y, u, v, orgY, ddp, cy8, cu8, cv8, beta, tc, tcC):
+        if deblocking:
+            dd = JK.unpack_ddp(ddp)
+            y = JK.deblock_luma(y, dd, H, W, beta, tc)
+            u = JK.deblock_chroma(u, dd, H, W, tcC)
+            v = JK.deblock_chroma(v, dd, H, W, tcC)
+        bit_sb = jnp.zeros((max(SBH, 1), max(SBW, 1)), bool)
+        if clpf and SBH > 0 and SBW > 0:
+            # decision: dense filtered luma vs unfiltered SSD per
+            # 8-block, cy8-masked, summed per SB (the host twin is
+            # Encoder._clpf_frame; XLA CSEs the dense filter with the
+            # masked apply below)
+            ones = jnp.ones((H // 8, W // 8), bool)
+            Fy = JK.clpf_plane(y, ones, MAX_BLOCK_SIZE, H, W)
+            O = orgY.astype(jnp.int32)
+
+            def blksum(E):
+                return E[:h8 * 8, :w8 * 8] \
+                    .reshape(h8, 8, w8, 8).sum(axis=(1, 3))
+
+            cy8c = cy8[:h8, :w8]
+            e0 = blksum((O - y) ** 2) * cy8c
+            e1 = blksum((O - Fy) ** 2) * cy8c
+            sum0 = e0.reshape(SBH, 8, SBW, 8).sum(axis=(1, 3))
+            sum1 = e1.reshape(SBH, 8, SBW, 8).sum(axis=(1, 3))
+            bit_sb = sum1 < sum0
+            cand8 = cy8 | cu8 | cv8
+            cand_sb = cand8[:h8, :w8].reshape(SBH, 8, SBW, 8) \
+                .any(axis=(1, 3))
+            on_sb = cand_sb & bit_sb
+            on8 = jnp.zeros((H // 8, W // 8), bool)
+            on8 = on8.at[:h8, :w8].set(
+                jnp.repeat(jnp.repeat(on_sb, 8, 0), 8, 1))
+            y = JK.clpf_plane(y, cy8 & on8, MAX_BLOCK_SIZE, H, W)
+            u = JK.clpf_plane(u, cu8 & on8, MAX_BLOCK_SIZE // 2, Hc, Wc)
+            v = JK.clpf_plane(v, cv8 & on8, MAX_BLOCK_SIZE // 2, Hc, Wc)
+        packed = jnp.concatenate(
+            [y.astype(jnp.uint8),
+             jnp.concatenate([u.astype(jnp.uint8),
+                              v.astype(jnp.uint8)], axis=1)], axis=0)
+        refY = jnp.pad(y.astype(jnp.uint8), PAD, mode='edge')
+        refU = jnp.pad(u.astype(jnp.uint8), PAD_C, mode='edge')
+        refV = jnp.pad(v.astype(jnp.uint8), PAD_C, mode='edge')
+        return packed, bit_sb, refY, refU, refV
+
+    return jax.jit(f)
+
+
+def _intra_scan_arrays(intra_leaves, H, W):
+    """Padded TU descriptor arrays for the exact intra scan (luma +
+    chroma variants), built from the decided intra leaves."""
+    from ..dec.native_inputs import (_downleft_available_v,
+                                     _upright_available_v)
+    n = len(intra_leaves)
+    # P frames usually have few intra leaves; a small floor keeps the
+    # sequential exact-recon scan short (the pow2 ladder still bounds
+    # the compile count)
+    npad = max(32, 1 << (n - 1).bit_length())
+    ty = np.array([lf.ypos for lf in intra_leaves], np.int32)
+    tx = np.array([lf.xpos for lf in intra_leaves], np.int32)
+    sz = np.array([lf.size for lf in intra_leaves], np.int32)
+    md = np.array([lf.intra_mode for lf in intra_leaves], np.int32)
+    up = _upright_available_v(ty, tx, sz, W)
+    dl = _downleft_available_v(ty, tx, sz, H)
+
+    def padn(a, fill=0):
+        return np.concatenate(
+            [a.astype(np.int32), np.full(npad - n, fill, np.int32)])
+
+    arr = {
+        "ty": padn(ty), "tx": padn(tx), "size": padn(sz, 8),
+        "mode": padn(md), "toplen": padn(sz + up, 8),
+        "leftlen": padn(sz + dl, 8),
+        "cbx_nonzero": padn((tx > 0).astype(np.int32)),
+        "valid": padn(np.ones(n, np.int32)),
+    }
+    arrc = dict(arr)
+    arrc["ty"] = padn(ty // 2)
+    arrc["tx"] = padn(tx // 2)
+    arrc["size"] = padn(sz // 2, 4)
+    arrc["toplen"] = padn(sz // 2 + up, 4)
+    arrc["leftlen"] = padn(sz // 2 + dl, 4)
+    arrc["cbx_nonzero"] = padn((tx // 2 > 0).astype(np.int32))
+    return arr, arrc, npad
+
+
+def _dispatch_final(H, W, trials_dev, phY, phU, phV, fin, org_y_d,
+                    org_u_d, org_v_d, qpY, qpC, speed):
+    """Dispatch the final reconstruction + (optional) exact intra scan
+    from decided host fields - pure device work, NO sync. `fin` holds
+    per-size chosen-variant indices/masks, the decided per-cell MV
+    fields (visual domain) and the intra TU arrays; shared between the
+    live encode and the device-throughput replay
+    (tools/device_encode_fps.py). Returns (y_d, u_d, v_d,
+    intra_q_dev|None)."""
+    from .device_intra import _encode_scan_fn
+    tsel = {}
+    for s in SIZES:
+        t = trials_dev[s]
+        tsel[s] = {'qy': t['qy'], 'qu': t['qu'], 'qv': t['qv'],
+                   'cbp_y': t['cbp_y'], 'cbp_u': t['cbp_u'],
+                   'cbp_v': t['cbp_v'],
+                   'k': jnp.asarray(fin['ksel'][s]),
+                   'm': jnp.asarray(fin['msk'][s])}
+        if 'qy_tb' in t:
+            tsel[s].update({'qy_tb': t['qy_tb'], 'qu_tb': t['qu_tb'],
+                            'qv_tb': t['qv_tb'],
+                            'cbp_tb_y': t['cbp_tb_y'],
+                            'cbp_tb_u': t['cbp_tb_u'],
+                            'cbp_tb_v': t['cbp_tb_v'],
+                            'mtb': jnp.asarray(fin['mtb'][s])})
+    (mvxc_v, mvyc_v, slc, mvx1c_v, mvy1c_v, sl1c, bic) = fin['cells']
+    y_d, u_d, v_d = _final_mc_fn(H, W, fin['has_bi_cells'])(
+        phY, phU, phV, jnp.asarray(mvxc_v), jnp.asarray(mvyc_v),
+        jnp.asarray(slc), jnp.asarray(mvx1c_v),
+        jnp.asarray(mvy1c_v), jnp.asarray(sl1c), jnp.asarray(bic),
+        tsel, jnp.int32(qpY), jnp.int32(qpC))
+
+    intra_q_dev = None
+    if fin['intra'] is not None:
+        arr, arrc, npad = fin['intra']
+        luma_fn, chroma_fn = _encode_scan_fn(speed > 1, npad,
+                                             intra_quant=False)
+
+        def pad_for(plane):
+            return jnp.pad(jnp.asarray(plane, jnp.int32),
+                           ((JK.PADI, JK.PADE), (JK.PADI, JK.PADE)))
+
+        P = pad_for(y_d)
+        O = pad_for(org_y_d)
+        P, q16y, cbpy = luma_fn(P, O, arr, jnp.int32(qpY))
+        y_d = P[JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]
+
+        Pu = pad_for(u_d)
+        Pv = pad_for(v_d)
+        Ou = pad_for(org_u_d)
+        Ov = pad_for(org_v_d)
+        Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(Pu, Pv, Ou, Ov, arrc,
+                                                   jnp.int32(qpC))
+        u_d = Pu[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
+        v_d = Pv[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
+        intra_q_dev = {'qy': q16y, 'qu': q16u, 'qv': q16v,
+                       'cy': cbpy, 'cu': cbpu, 'cv': cbpv}
+    return y_d, u_d, v_d, intra_q_dev
+
+
+def _clpf_cand_masks(dd, H, W):
+    """Per-8-cell CLPF candidate masks from the side-info map
+    (Encoder._clpf_frame's cell8 rule): [H/8, W/8] bool per plane,
+    populated only over the SB-covered region."""
+    SBH, SBW = H // MAX_BLOCK_SIZE, W // MAX_BLOCK_SIZE
+    h8, w8 = SBH * 8, SBW * 8
+    cy8 = np.zeros((H // 8, W // 8), bool)
+    cu8 = np.zeros_like(cy8)
+    cv8 = np.zeros_like(cy8)
+
+    def cell8(a):
+        return np.asarray(a)[::2, ::2][:h8, :w8]
+
+    notbi = cell8(dd.mode) != MODE_BIPRED
+    cy8[:h8, :w8] = (cell8(dd.cbp_y) > 0) & notbi
+    cu8[:h8, :w8] = (cell8(dd.cbp_u) > 0) & notbi
+    cv8[:h8, :w8] = (cell8(dd.cbp_v) > 0) & notbi
+    return cy8, cu8, cv8
 
 
 # ---------------------------------------------------------------------------
@@ -913,11 +1186,49 @@ def _emit_native(enc, w, leaves, meas, coeff_host, intra_q):
 # Frame driver
 # ---------------------------------------------------------------------------
 
+def _ref_stacks(enc, refs):
+    """Device-resident padded reference stacks [R, Hp, Wp].
+
+    Planes are uploaded at most once per reference frame and cached on
+    device (keyed by frame number; interpolated references separately,
+    they share the current frame's number). Frames the device pipeline
+    itself reconstructed are inserted straight from the device filter
+    stage without ever crossing the link (see encode_inter_frame_device
+    end) - in steady state a P-frame uploads only its org planes."""
+    cache = getattr(enc, '_dev_ref_cache', None)
+    if cache is None:
+        cache = enc._dev_ref_cache = {}
+    rec = getattr(enc, '_current_rec', None)
+    planes = []
+    keys = []
+    for i, r in enumerate(refs):
+        kind = 'i' if enc.ref_array[i] < 0 else 'r'
+        key = (kind, r.frame_num)
+        ent = cache.get(key)
+        if ent is None:
+            ent = (jnp.asarray(r.y), jnp.asarray(r.u), jnp.asarray(r.v))
+            cache[key] = ent
+            if rec is not None:
+                rec.setdefault('uploads', {})[key] = (r.y, r.u, r.v)
+            # bounded: active refs live in a 33-deep sliding window;
+            # an evicted-but-still-referenced frame just re-uploads
+            while len(cache) > 40:
+                cache.pop(next(iter(cache)))
+        planes.append(ent)
+        keys.append(key)
+    if rec is not None:
+        rec['ref_keys'] = keys
+    return (jnp.stack([e[0] for e in planes]),
+            jnp.stack([e[1] for e in planes]),
+            jnp.stack([e[2] for e in planes]))
+
+
 def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     """Device-searched P-frame encode; returns (y, u, v) recon and
     writes the frame syntax through the exact host writers."""
     import math
-    from .device_intra import (search_intra_frame, _encode_scan_fn)
+    from .device_intra import (search_intra_frame_device,
+                               intra_split_decisions, _encode_scan_fn)
     from ..dec.native_inputs import (_downleft_available_v,
                                      _upright_available_v)
     from .block import BlockInfo, BlockParam
@@ -942,142 +1253,83 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
                      for r in refs], np.int32)
     sign_bi = np.array([1 if r.frame_num >= enc.frame_num else 0
                         for r in refs], np.int32)
-    refY = np.stack([r.y for r in refs])
-    refU = np.stack([r.u for r in refs])
-    refV = np.stack([r.v for r in refs])
 
-    _t = TIMER
-    with _t.stage('phases'):
-        lutY = JK.build_luma_mc_lut(int(p.enable_bipred))
-        lutC = JK.build_chroma_mc_lut()
-        phY = JK.mc_phase_conv(jnp.asarray(refY), lutY, PAD)
-        phU = JK.mc_phase_conv(jnp.asarray(refU), lutC, PAD_C)
-        phV = JK.mc_phase_conv(jnp.asarray(refV), lutC, PAD_C)
-
-    # --- device measurements ---
-    # Per block, K motion variants are trial-coded: k=0 the ME MV,
-    # k=1 the left neighbour's ME MV, k=2 the up-right neighbour's
-    # (the two positions the skip/merge derivation reads,
-    # common/inter_prediction.c:331-348), then zero MV per reference.
-    with _t.stage('me'):
-        me = DM.me_frame(org_y, refY, phY, lam_me, H, W)
-        if sign.any() or sign_bi.any():
-            # ME searches the reference planes directly (visual MVs);
-            # convert each block's MV to the stream domain by its
-            # chosen slot's sign (per-ref MVs fold by their own slot's
-            # BIPRED sign - they only feed bipred variants)
-            me = {s: (np.where(sign[v[2]] != 0, -v[0], v[0]),
-                      np.where(sign[v[2]] != 0, -v[1], v[1]),
-                      v[2], v[3],
-                      np.where(sign_bi[:, None] != 0, -v[4], v[4]),
-                      np.where(sign_bi[:, None] != 0, -v[5], v[5]))
-                  for s, v in me.items()}
     # bipred trials ride along on B frames / bipred-enabled sequences:
     # the two prediction lists the reference's iterative search uses
     # (enc/encode_block.c:2115-2170): B frames list0/list1 = refs
     # (1, 2) with interp-ref else (0, 1); P frames (0, 1).
     has_bi = bool(p.enable_bipred) and R > 1
-    if has_bi:
-        if enc.frame_type == 2 and enc.interp_ref:  # B + interp
-            bslot0, bslot1 = 1, 2
-        else:
-            bslot0, bslot1 = 0, 1
+    bslot0, bslot1 = 0, 1
+    if has_bi and enc.frame_type == 2 and enc.interp_ref:  # B + interp
+        bslot0, bslot1 = 1, 2
+    K_uni = 3 + R
+
+    # optional device-program record (tools/device_encode_fps.py
+    # replays the pure device pipeline from these)
+    enc._current_rec = rec = (
+        {} if getattr(enc, '_device_record', None) is not None else None)
+    if rec is not None:
+        rec.update(H=H, W=W, R=R, has_bi=has_bi, bslot0=bslot0,
+                   bslot1=bslot1, seq_bipred=int(p.enable_bipred),
+                   qpY=qpY, qpC=qpC, lam=lam, lam_me=lam_me,
+                   sign=sign, sign_bi=sign_bi,
+                   org_y=org_y, org_u=org_u, org_v=org_v,
+                   speed=p.encoder_speed, tb_split=p.enable_tb_split,
+                   nmodes=enc.num_intra_modes)
+    refY_d, refU_d, refV_d = _ref_stacks(enc, refs)
+
+    # --- device measurements: everything from the org/ref planes to
+    # the per-(variant, block) cost maps runs as back-to-back device
+    # programs with NO intermediate host sync; one batched fetch at
+    # the end returns every map the decision walk reads. ---
+    _t = TIMER
+    org_y_d = jnp.asarray(org_y)
+    org_u_d = jnp.asarray(org_u)
+    org_v_d = jnp.asarray(org_v)
+    sign_d = jnp.asarray(sign)
+    sign_bi_d = jnp.asarray(sign_bi)
+    with _t.stage('measure_dispatch'):
+        phY, phU, phV, variants = _measure_fn(
+            H, W, R, has_bi, bslot0, bslot1, int(p.enable_bipred))(
+            org_y_d, refY_d, refU_d, refV_d, sign_d, sign_bi_d,
+            jnp.float32(lam_me))
+        trials_dev = {}
+        for s in SIZES:
+            v = variants[s]
+            fastY = (s == 64 and fast64) or fast32
+            # tb trials for sizes > 8 on tb-enabled configs (the s == 8
+            # tb_split tool - 4x4 luma quadrants - is deliberately not
+            # in the device toolset; its RD contribution is marginal)
+            tb_s = p.enable_tb_split == 1 and s > 8
+            fastY2 = s == 64 or fast32
+            trials_dev[s] = _trial_fn(H, W, s, fastY, fast32, has_bi,
+                                      tb_s, fastY2)(
+                org_y_d, org_u_d, org_v_d, phY, phU, phV,
+                v['mvy'], v['mvx'], v['slot'], v['mvy1'], v['mvx1'],
+                v['slot1'], v['bi'], jnp.int32(qpY), jnp.int32(qpC),
+                sign_d, sign_bi_d)
+        intra_dev = search_intra_frame_device(
+            org_y_d, org_u_d, org_v_d, qpY, qpC, lam, W, H,
+            p.encoder_speed > 1, enc.num_intra_modes, intra_quant=False)
+
+    with _t.stage('measure_fetch'):
+        fetch_keys = ('ssd_coded', 'ssd_pred', 'bits', 'cbp_y', 'cbp_u',
+                      'cbp_v', 'ssd_tb', 'bits_tb', 'cbp_tb_y',
+                      'cbp_tb_u', 'cbp_tb_v')
+        var_keys = ('mvy', 'mvx', 'slot', 'mvy1', 'mvx1', 'slot1', 'bi')
+        host = jax.device_get({
+            'meas': {s: {k: trials_dev[s][k] for k in fetch_keys
+                         if k in trials_dev[s]} for s in SIZES},
+            'vars': {s: {k: variants[s][k] for k in var_keys}
+                     for s in SIZES},
+            'intra': intra_dev})
     meas = {}
-    trials_dev = {}
-    with _t.stage('trials'):
-      for s in SIZES:
-        mvy, mvx, slot = me[s][0], me[s][1], me[s][2]
-        HB, WB = H // s, W // s
-
-        def neigh(a, di, dj):
-            """Value of the (di, dj)-offset neighbour block (zero at
-            frame edges)."""
-            g = a.reshape(HB, WB).astype(np.int32)
-            out = np.zeros_like(g)
-            rs = slice(max(di, 0), HB + min(di, 0))
-            cs = slice(max(dj, 0), WB + min(dj, 0))
-            rsrc = slice(max(-di, 0), HB + min(-di, 0))
-            csrc = slice(max(-dj, 0), WB + min(-dj, 0))
-            out[rs, cs] = g[rsrc, csrc]
-            return out.reshape(-1)
-
-        var_y = [mvy, neigh(mvy, 0, 1), neigh(mvy, 1, -1)]
-        var_x = [mvx, neigh(mvx, 0, 1), neigh(mvx, 1, -1)]
-        var_s = [slot, neigh(slot, 0, 1), neigh(slot, 1, -1)]
-        zero = np.zeros_like(mvy)
-        for r in range(R):
-            var_y.append(zero)
-            var_x.append(zero)
-            var_s.append(np.full_like(slot, r))
-        K_uni = len(var_y)
-        var_y1 = [zero] * K_uni
-        var_x1 = [zero] * K_uni
-        var_s1 = [zero] * K_uni
-        var_bi = [zero] * K_uni
-        if has_bi:
-            one = np.ones_like(mvy)
-            ry, rx = me[s][4], me[s][5]
-            # bi pair from the per-ref ME (approximates the converged
-            # iterative 2-list search), its neighbours (skip/merge
-            # candidates propagate decided bi pairs), and zero-zero
-            bpairs = [
-                (ry[bslot0], rx[bslot0], ry[bslot1], rx[bslot1]),
-                (neigh(ry[bslot0], 0, 1), neigh(rx[bslot0], 0, 1),
-                 neigh(ry[bslot1], 0, 1), neigh(rx[bslot1], 0, 1)),
-                (neigh(ry[bslot0], 1, -1), neigh(rx[bslot0], 1, -1),
-                 neigh(ry[bslot1], 1, -1), neigh(rx[bslot1], 1, -1)),
-                (zero, zero, zero, zero),
-            ]
-            for (y0v, x0v, y1v, x1v) in bpairs:
-                var_y.append(y0v)
-                var_x.append(x0v)
-                var_s.append(np.full_like(slot, bslot0))
-                var_y1.append(y1v)
-                var_x1.append(x1v)
-                var_s1.append(np.full_like(slot, bslot1))
-                var_bi.append(one)
-        mvyk = np.stack(var_y).astype(np.int32)
-        mvxk = np.stack(var_x).astype(np.int32)
-        slotk = np.stack(var_s).astype(np.int32)
-        mvy1k = np.stack(var_y1).astype(np.int32)
-        mvx1k = np.stack(var_x1).astype(np.int32)
-        slot1k = np.stack(var_s1).astype(np.int32)
-        bik = np.stack(var_bi).astype(np.int32)
-
-        fastY = (s == 64 and fast64) or fast32
-        # tb trials for sizes > 8 on tb-enabled configs (the s == 8
-        # tb_split tool - 4x4 luma quadrants - is deliberately not in
-        # the device toolset; its RD contribution is marginal)
-        tb_s = p.enable_tb_split == 1 and s > 8
-        fastY2 = s == 64 or fast32
-        t = _trial_fn(H, W, s, fastY, fast32, has_bi, tb_s, fastY2)(
-            jnp.asarray(org_y), jnp.asarray(org_u), jnp.asarray(org_v),
-            phY, phU, phV, jnp.asarray(mvyk), jnp.asarray(mvxk),
-            jnp.asarray(slotk), jnp.asarray(mvy1k), jnp.asarray(mvx1k),
-            jnp.asarray(slot1k), jnp.asarray(bik), jnp.int32(qpY),
-            jnp.int32(qpC), jnp.asarray(sign), jnp.asarray(sign_bi))
-        trials_dev[s] = t
-        meas[s] = {
-            'mvy': mvyk, 'mvx': mvxk, 'slot': slotk,
-            'mvy1': mvy1k, 'mvx1': mvx1k, 'slot1': slot1k, 'bi': bik,
-            'K_uni': K_uni,
-        }
-      # one batched fetch for every size's measurement maps (each
-      # blocking per-map fetch pays the link RTT)
-      fetch_keys = ('ssd_coded', 'ssd_pred', 'bits', 'cbp_y', 'cbp_u',
-                    'cbp_v', 'ssd_tb', 'bits_tb', 'cbp_tb_y',
-                    'cbp_tb_u', 'cbp_tb_v')
-      host = jax.device_get({s: {k: trials_dev[s][k] for k in fetch_keys
-                                 if k in trials_dev[s]}
-                             for s in SIZES})
-      for s in SIZES:
-          meas[s].update(host[s])
-
-    with _t.stage('intra_search'):
-        intra_modes, intra_split, intra_costs = search_intra_frame(
-            org_y, org_u, org_v, qpY, qpC, lam, W, H,
-            p.encoder_speed > 1, enc.num_intra_modes,
-            intra_quant=False, return_costs=True)
+    for s in SIZES:
+        meas[s] = dict(host['vars'][s])
+        meas[s]['K_uni'] = K_uni
+        meas[s].update(host['meas'][s])
+    intra_modes, intra_split, intra_costs = intra_split_decisions(
+        host['intra'], W, H, return_costs=True)
 
     # --- decision walk ---
     enc.deblock_data.reset()
@@ -1115,115 +1367,47 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     # per-size chosen-variant index + coded mask over the full raster
     # block grid (static shapes: the jitted final stage is keyed on the
     # frame geometry alone)
-    tsel = {}
+    ksel = {}
+    msk = {}
+    mtb = {}
     for s in SIZES:
-        HB, WB = H // s, W // s
-        N = HB * WB
-        ksel = np.zeros(N, np.int32)
-        msk = np.zeros(N, bool)
-        mtb = np.zeros(N, bool)
+        N = (H // s) * (W // s)
+        ksel[s] = np.zeros(N, np.int32)
+        msk[s] = np.zeros(N, bool)
+        mtb[s] = np.zeros(N, bool)
         for lf in coded[s]:
-            ksel[lf.idx] = lf.k
+            ksel[s][lf.idx] = lf.k
             if lf.tb:
-                mtb[lf.idx] = True
+                mtb[s][lf.idx] = True
             else:
-                msk[lf.idx] = True
-        t = trials_dev[s]
-        tsel[s] = {'qy': t['qy'], 'qu': t['qu'], 'qv': t['qv'],
-                   'cbp_y': t['cbp_y'], 'cbp_u': t['cbp_u'],
-                   'cbp_v': t['cbp_v'],
-                   'k': jnp.asarray(ksel), 'm': jnp.asarray(msk)}
-        if 'qy_tb' in t:
-            tsel[s].update({'qy_tb': t['qy_tb'], 'qu_tb': t['qu_tb'],
-                            'qv_tb': t['qv_tb'],
-                            'cbp_tb_y': t['cbp_tb_y'],
-                            'cbp_tb_u': t['cbp_tb_u'],
-                            'cbp_tb_v': t['cbp_tb_v'],
-                            'mtb': jnp.asarray(mtb)})
+                msk[s][lf.idx] = True
+
+    # per-cell stream MVs -> visual MVs (future-ref sign fold; bipred
+    # cells fold both lists by the bipred sign)
+    sg0 = np.where(bic != 0, sign_bi[slc], sign[slc]) != 0
+    mvxc_v = np.where(sg0, -mvxc, mvxc)
+    mvyc_v = np.where(sg0, -mvyc, mvyc)
+    sg1 = sign_bi[sl1c] != 0
+    mvx1c_v = np.where(sg1, -mvx1c, mvx1c)
+    mvy1c_v = np.where(sg1, -mvy1c, mvy1c)
+
+    intra_arr = None
+    if intra_leaves:
+        intra_arr = _intra_scan_arrays(intra_leaves, H, W)
+
+    fin = {'ksel': ksel, 'msk': msk, 'mtb': mtb,
+           'cells': (mvxc_v, mvyc_v, slc, mvx1c_v, mvy1c_v, sl1c, bic),
+           'has_bi_cells': bool(bic.any()), 'intra': intra_arr}
+    if rec is not None:
+        rec['fin'] = fin
 
     with _t.stage('final_mc'):
-        # per-cell stream MVs -> visual MVs (future-ref sign fold;
-        # bipred cells fold both lists by the bipred sign)
-        sg0 = np.where(bic != 0, sign_bi[slc], sign[slc]) != 0
-        mvxc_v = np.where(sg0, -mvxc, mvxc)
-        mvyc_v = np.where(sg0, -mvyc, mvyc)
-        sg1 = sign_bi[sl1c] != 0
-        mvx1c_v = np.where(sg1, -mvx1c, mvx1c)
-        mvy1c_v = np.where(sg1, -mvy1c, mvy1c)
-        y_d, u_d, v_d = _final_mc_fn(H, W, bool(bic.any()))(
-            phY, phU, phV, jnp.asarray(mvxc_v), jnp.asarray(mvyc_v),
-            jnp.asarray(slc), jnp.asarray(mvx1c_v),
-            jnp.asarray(mvy1c_v), jnp.asarray(sl1c), jnp.asarray(bic),
-            tsel, jnp.int32(qpY), jnp.int32(qpC))
+        y_d, u_d, v_d, intra_q_dev = _dispatch_final(
+            H, W, trials_dev, phY, phU, phV, fin, org_y_d, org_u_d,
+            org_v_d, qpY, qpC, p.encoder_speed)
 
-    # --- exact intra scan over intra-coded leaves ---
-    intra_q = {}
-    if intra_leaves:
-      with _t.stage('intra_scan'):
-        n = len(intra_leaves)
-        # P frames usually have few intra leaves; a small floor keeps
-        # the sequential exact-recon scan short (the pow2 ladder still
-        # bounds the compile count)
-        npad = max(32, 1 << (n - 1).bit_length())
-        ty = np.array([lf.ypos for lf in intra_leaves], np.int32)
-        tx = np.array([lf.xpos for lf in intra_leaves], np.int32)
-        sz = np.array([lf.size for lf in intra_leaves], np.int32)
-        md = np.array([lf.intra_mode for lf in intra_leaves], np.int32)
-        up = _upright_available_v(ty, tx, sz, W)
-        dl = _downleft_available_v(ty, tx, sz, H)
-
-        def padn(a, fill=0):
-            return np.concatenate(
-                [a.astype(np.int32), np.full(npad - n, fill, np.int32)])
-
-        arr = {
-            "ty": padn(ty), "tx": padn(tx), "size": padn(sz, 8),
-            "mode": padn(md), "toplen": padn(sz + up, 8),
-            "leftlen": padn(sz + dl, 8),
-            "cbx_nonzero": padn((tx > 0).astype(np.int32)),
-            "valid": padn(np.ones(n, np.int32)),
-        }
-        luma_fn, chroma_fn = _encode_scan_fn(
-            p.encoder_speed > 1, npad, intra_quant=False)
-
-        def pad_for(plane):
-            return jnp.pad(jnp.asarray(plane, jnp.int32),
-                           ((JK.PADI, JK.PADE), (JK.PADI, JK.PADE)))
-
-        P = pad_for(y_d)
-        O = pad_for(org_y)
-        P, q16y, cbpy = luma_fn(P, O, arr, jnp.int32(qpY))
-        y_d = P[JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]
-
-        arrc = dict(arr)
-        arrc["ty"] = padn(ty // 2)
-        arrc["tx"] = padn(tx // 2)
-        arrc["size"] = padn(sz // 2, 4)
-        arrc["toplen"] = padn(sz // 2 + up, 4)
-        arrc["leftlen"] = padn(sz // 2 + dl, 4)
-        arrc["cbx_nonzero"] = padn((tx // 2 > 0).astype(np.int32))
-        Pu = pad_for(u_d)
-        Pv = pad_for(v_d)
-        Ou = pad_for(org_u)
-        Ov = pad_for(org_v)
-        Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(Pu, Pv, Ou, Ov, arrc,
-                                                   jnp.int32(qpC))
-        u_d = Pu[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
-        v_d = Pv[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
-        intra_q = jax.device_get({'qy': q16y, 'qu': q16u, 'qv': q16v,
-                                  'cy': cbpy, 'cu': cbpu, 'cv': cbpv})
-        intra_q['index'] = {(lf.ypos, lf.xpos): i
-                            for i, lf in enumerate(intra_leaves)}
-
-    with _t.stage('fetch_recon'):
-        # one packed device->host fetch (the tunnel pays ~80 ms RTT
-        # per blocking transfer; three per-plane fetches cost ~2x one)
-        ph = np.asarray(_pack_out_fn(H, W)(y_d, u_d, v_d))
-        y = ph[:H]
-        u = ph[H:, :W // 2]
-        v = ph[H:, W // 2:]
-
-    # --- syntax emission with exact contexts ---
+    # --- chosen-coefficient gather (async index ops; fetched together
+    # with the intra banks in ONE device_get below) ---
     gather_dev = {}
     tbms = {}
     for s in SIZES:
@@ -1241,8 +1425,14 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
                 g['qu_tb'] = trials_dev[s]['qu_tb'][ks, sel]
                 g['qv_tb'] = trials_dev[s]['qv_tb'][ks, sel]
             gather_dev[s] = g
+    with _t.stage('fetch_coeffs'):
+        got = jax.device_get({'intra': intra_q_dev, 'g': gather_dev})
+    intra_q = got['intra'] or {}
+    if intra_leaves:
+        intra_q['index'] = {(lf.ypos, lf.xpos): i
+                            for i, lf in enumerate(intra_leaves)}
     coeff_host = {}
-    for s, g in jax.device_get(gather_dev).items():
+    for s, g in got['g'].items():
         lst = coded[s]
         qy, qu, qv = g['qy'], g['qu'], g['qv']
         tbm = tbms[s]
@@ -1262,7 +1452,8 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         try:
             with _t.stage('emit'):
                 _emit_native(enc, w, leaves, meas, coeff_host, intra_q)
-            return y, u, v
+            return _finish_frame_device(enc, w, y_d, u_d, v_d, org_y_d,
+                                        qpY, qpC)
         except Exception as e:
             # See _decide_frame: native-path failures must be loud.
             if "PYTEST_CURRENT_TEST" in os.environ:
@@ -1385,4 +1576,148 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
             for l in range(0, W, MAX_BLOCK_SIZE):
                 emit(MAX_BLOCK_SIZE, k, l)
 
+    return _finish_frame_device(enc, w, y_d, u_d, v_d, org_y_d, qpY,
+                                qpC)
+
+
+def _finish_frame_device(enc, w, y_d, u_d, v_d, org_y_d, qpY, qpC):
+    """Post-emission device stages: in-loop filters + CLPF decision on
+    device, per-SB CLPF bit emission, ONE packed recon fetch, and the
+    padded reference planes cached device-side for the next frame
+    (no host round trip of the reference chain)."""
+    from ..codec.constants import BETA_TABLE, TC_TABLE
+    W_, H = enc.width, enc.height
+    p = enc.params
+    _t = TIMER
+    deblocking = bool(p.deblocking)
+    clpf = bool(p.clpf)
+    SBH, SBW = H // MAX_BLOCK_SIZE, W_ // MAX_BLOCK_SIZE
+
+    with _t.stage('filters'):
+        ddp = JK.pack_ddp({k: getattr(enc.deblock_data, k) for k in
+                           ("mode", "cbp_y", "mv0x", "mv0y", "mv1x",
+                            "mv1y", "tb_split", "size", "pb_part")})
+        cy8, cu8, cv8 = _clpf_cand_masks(enc.deblock_data, H, W_)
+        packed, bit_sb_d, refY, refU, refV = _filter_fn(
+            H, W_, deblocking, clpf)(
+            y_d, u_d, v_d, org_y_d, jnp.asarray(ddp),
+            jnp.asarray(cy8), jnp.asarray(cu8), jnp.asarray(cv8),
+            jnp.int32(BETA_TABLE[qpY]), jnp.int32(TC_TABLE[qpY]),
+            jnp.int32(TC_TABLE[qpC]))
+
+    # cache the device-resident padded reference planes for the next
+    # frame's ME/MC (sliding-window twin of encode_frame's RefFrame)
+    cache = getattr(enc, '_dev_ref_cache', None)
+    if cache is None:
+        cache = enc._dev_ref_cache = {}
+    cache[('r', enc.frame_num)] = (refY, refU, refV)
+    while len(cache) > 40:
+        cache.pop(next(iter(cache)))
+
+    rec = getattr(enc, '_current_rec', None)
+    if rec is not None:
+        rec.update(ddp=ddp, cy8=cy8, cu8=cu8, cv8=cv8,
+                   deblocking=deblocking, clpf=clpf,
+                   own_key=('r', enc.frame_num))
+        enc._device_record.append(rec)
+        enc._current_rec = None
+
+    with _t.stage('fetch_recon'):
+        # one packed device->host fetch (the tunnel pays ~80 ms RTT
+        # per blocking transfer)
+        got = jax.device_get({'p': packed, 'b': bit_sb_d})
+    ph = got['p']
+    y = ph[:H]
+    u = ph[H:, :W_ // 2]
+    v = ph[H:, W_ // 2:]
+
+    if clpf:
+        # frame-level CLPF signalling + per-SB decision bits
+        # (encode_frame.c:61 + Encoder._clpf_frame bit loop)
+        w.putbits(1, 1)
+        w.putbits(1, 0)
+        if SBH > 0 and SBW > 0:
+            cand_sb = (cy8 | cu8 | cv8)[:SBH * 8, :SBW * 8] \
+                .reshape(SBH, 8, SBW, 8).any(axis=(1, 3))
+            if cand_sb.any():
+                bit_sb = got['b']
+                for k in range(SBH):
+                    for l in range(SBW):
+                        if cand_sb[k, l]:
+                            w.putbits(1, 1 if bit_sb[k, l] else 0)
+    enc._filters_done_on_device = True
     return y, u, v
+
+
+# ---------------------------------------------------------------------------
+# Device-throughput replay (tools/device_encode_fps.py)
+# ---------------------------------------------------------------------------
+
+def replay_device_frame(rec, refstate):
+    """Re-dispatch one recorded frame's device programs - measurement
+    (phases + ME + variants + trials + intra search), final
+    reconstruction + intra scan, in-loop filters - against the
+    device-resident reference chain, with NO host sync. Inserts this
+    frame's padded reference planes into `refstate` and returns the
+    packed recon device array (sync only when the caller materializes
+    it).
+
+    The recorded host decisions stand in for the decide walk: the
+    device programs are deterministic, so the replayed streams' inputs
+    equal the live run's. This is the encode twin of
+    tools/device_decode_fps.py: the throughput a locally-attached chip
+    sustains when the (native, ~ms) host walk overlaps device compute
+    instead of waiting on an 80 ms tunnel round trip per fetch."""
+    H, W, R = rec['H'], rec['W'], rec['R']
+    for key, (py, pu, pv) in rec.get('uploads', {}).items():
+        if key not in refstate:
+            refstate[key] = (jnp.asarray(py), jnp.asarray(pu),
+                             jnp.asarray(pv))
+    refY = jnp.stack([refstate[k][0] for k in rec['ref_keys']])
+    refU = jnp.stack([refstate[k][1] for k in rec['ref_keys']])
+    refV = jnp.stack([refstate[k][2] for k in rec['ref_keys']])
+    org_y_d = jnp.asarray(rec['org_y'])
+    org_u_d = jnp.asarray(rec['org_u'])
+    org_v_d = jnp.asarray(rec['org_v'])
+    sign_d = jnp.asarray(rec['sign'])
+    sign_bi_d = jnp.asarray(rec['sign_bi'])
+    qpY, qpC = rec['qpY'], rec['qpC']
+    speed = rec['speed']
+    fast32 = speed > 1
+    fast64 = speed > 0
+
+    phY, phU, phV, variants = _measure_fn(
+        H, W, R, rec['has_bi'], rec['bslot0'], rec['bslot1'],
+        rec['seq_bipred'])(
+        org_y_d, refY, refU, refV, sign_d, sign_bi_d,
+        jnp.float32(rec['lam_me']))
+    trials_dev = {}
+    for s in SIZES:
+        v = variants[s]
+        fastY = (s == 64 and fast64) or fast32
+        tb_s = rec['tb_split'] == 1 and s > 8
+        fastY2 = s == 64 or fast32
+        trials_dev[s] = _trial_fn(H, W, s, fastY, fast32,
+                                  rec['has_bi'], tb_s, fastY2)(
+            org_y_d, org_u_d, org_v_d, phY, phU, phV,
+            v['mvy'], v['mvx'], v['slot'], v['mvy1'], v['mvx1'],
+            v['slot1'], v['bi'], jnp.int32(qpY), jnp.int32(qpC),
+            sign_d, sign_bi_d)
+    from .device_intra import search_intra_frame_device
+    search_intra_frame_device(
+        org_y_d, org_u_d, org_v_d, qpY, qpC, rec['lam'], W, H,
+        fast32, rec['nmodes'], intra_quant=False)
+
+    y_d, u_d, v_d, _ = _dispatch_final(
+        H, W, trials_dev, phY, phU, phV, rec['fin'], org_y_d, org_u_d,
+        org_v_d, qpY, qpC, speed)
+
+    from ..codec.constants import BETA_TABLE, TC_TABLE
+    packed, _, refYp, refUp, refVp = _filter_fn(
+        H, W, rec['deblocking'], rec['clpf'])(
+        y_d, u_d, v_d, org_y_d, jnp.asarray(rec['ddp']),
+        jnp.asarray(rec['cy8']), jnp.asarray(rec['cu8']),
+        jnp.asarray(rec['cv8']), jnp.int32(BETA_TABLE[qpY]),
+        jnp.int32(TC_TABLE[qpY]), jnp.int32(TC_TABLE[qpC]))
+    refstate[rec['own_key']] = (refYp, refUp, refVp)
+    return packed

@@ -286,15 +286,11 @@ def _search_fn(s: int, fast: bool, nmodes: int,
     return jax.jit(f)
 
 
-def search_intra_frame(org, org_u, org_v, qp, qpC, lam, W, H, fast,
-                       nmodes, intra_quant=True, return_costs=False):
-    """Batched mode search + bottom-up split decisions. Returns
-    {size: mode_map}, split maps (and per-size cost maps on request).
-
-    One device dispatch per size over the raw planes (refs + block
-    tiles are built in-program); all four sizes' maps come back in a
-    single batched fetch - through a high-RTT link eight blocking
-    per-map fetches cost more than the search itself."""
+def search_intra_frame_device(org, org_u, org_v, qp, qpC, lam, W, H,
+                              fast, nmodes, intra_quant=True):
+    """Dispatch the per-size mode searches and return the raw device
+    outputs {size: (mode_map, cost_map)} WITHOUT fetching - the fused
+    device encoder folds them into its one batched measurement fetch."""
     oy = jnp.asarray(org)
     ou = jnp.asarray(org_u)
     ov = jnp.asarray(org_v)
@@ -303,11 +299,14 @@ def search_intra_frame(org, org_u, org_v, qp, qpC, lam, W, H, fast,
         out[s] = _search_frame_fn(s, W, H, fast, nmodes, intra_quant)(
             oy, ou, ov, jnp.int32(qp), jnp.int32(qpC),
             jnp.float32(lam))
-    host = jax.device_get(out)
-    modes = {s: host[s][0] for s in out}
-    costs = {s: host[s][1].astype(np.int64) for s in out}
+    return out
 
-    # bottom-up split decisions (host, tiny)
+
+def intra_split_decisions(host, W, H, return_costs=False):
+    """Bottom-up split decisions (host, tiny) over fetched
+    {size: (mode_map, cost_map)} maps."""
+    modes = {s: host[s][0] for s in host}
+    costs = {s: np.asarray(host[s][1]).astype(np.int64) for s in host}
     split = {}
     agg = costs[8]
     for s in (16, 32, 64):
@@ -319,6 +318,21 @@ def search_intra_frame(org, org_u, org_v, qp, qpC, lam, W, H, fast,
     if return_costs:
         return modes, split, costs
     return modes, split
+
+
+def search_intra_frame(org, org_u, org_v, qp, qpC, lam, W, H, fast,
+                       nmodes, intra_quant=True, return_costs=False):
+    """Batched mode search + bottom-up split decisions. Returns
+    {size: mode_map}, split maps (and per-size cost maps on request).
+
+    One device dispatch per size over the raw planes (refs + block
+    tiles are built in-program); all four sizes' maps come back in a
+    single batched fetch - through a high-RTT link eight blocking
+    per-map fetches cost more than the search itself."""
+    out = search_intra_frame_device(org, org_u, org_v, qp, qpC, lam, W,
+                                    H, fast, nmodes, intra_quant)
+    return intra_split_decisions(jax.device_get(out), W, H,
+                                 return_costs)
 
 
 # ---------------------------------------------------------------------------

@@ -196,12 +196,12 @@ def _subpel_step(ob, phases_r, ty, tx, mvy, mvx, b, lam_me, py, px):
     return 4 * mvy + bq_y, 4 * mvx + bq_x, best
 
 
-@lru_cache(maxsize=None)
-def _me_frame_fn(H: int, W: int, R: int):
-    """Jitted whole-frame ME: per-size (8/16/32/64) per-block MV +
-    best-ref selection. Returns dict of (mvy, mvx, slot, cost) per size
-    with mv in quarter-pel units (sign convention: past reference,
-    unfolded)."""
+def me_frame_body(H: int, W: int, R: int):
+    """Un-jitted whole-frame ME body: per-size (8/16/32/64) per-block
+    MV + best-ref selection. Returns dict of (mvy, mvx, slot, cost,
+    ref_mvy, ref_mvx) per size with mv in quarter-pel units (sign
+    convention: past reference, unfolded). Exposed so the fused device
+    encoder can inline ME into its single measurement program."""
     HB16, WB16 = H // 16, W // 16
     HB32, WB32 = H // 32, W // 32
     HB64, WB64 = H // 64, W // 64
@@ -332,7 +332,13 @@ def _me_frame_fn(H: int, W: int, R: int):
             out[s] = (qy_all, qx_all, slot, qc_all, ref_y, ref_x)
         return out
 
-    return jax.jit(f)
+    return f
+
+
+@lru_cache(maxsize=None)
+def _me_frame_fn(H: int, W: int, R: int):
+    """Jitted wrapper of me_frame_body."""
+    return jax.jit(me_frame_body(H, W, R))
 
 
 def me_frame(org_y, refpad_stack, phases, lam_me, H, W):

@@ -593,6 +593,7 @@ class Encoder:
             w.putbits(6, r + 1)
         w.putbits(16, self.frame_num)
 
+        self._filters_done_on_device = False
         device_p = (p.device_encode
                     and self.frame_type in (P_FRAME, B_FRAME)
                     and self.width % 8 == 0 and self.height % 8 == 0
@@ -638,7 +639,7 @@ class Encoder:
                     process_block(self, w, MAX_BLOCK_SIZE, ypos, xpos,
                                   self.frame_qp)
 
-        if p.deblocking:
+        if p.deblocking and not self._filters_done_on_device:
             qp = self.frame_qp
             K.deblock_frame_y(self.rec_y, self.deblock_data, self.width,
                               self.height, qp, BETA_TABLE, TC_TABLE)
@@ -646,7 +647,7 @@ class Encoder:
                                self.width, self.height,
                                int(CHROMA_QP[qp]), TC_TABLE)
 
-        if p.clpf:
+        if p.clpf and not self._filters_done_on_device:
             w.putbits(1, 1)
             w.putbits(1, 0)     # sb_signal: per-SB decision bits follow
             self._clpf_frame(w)
