@@ -1,0 +1,72 @@
+"""GOP-parallel encode: byte-identity vs the sequential encoder.
+
+The ShardedEncoder (parallel/encode.py) measures a dyadic B level's
+frames concurrently across the virtual 8-device CPU mesh and drains in
+coding order; its stream and reconstructions must equal the sequential
+Encoder's exactly (the level axis is pure data parallelism - the
+reference-plane copies between devices are the only cross-device
+traffic)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from .conftest import TESTDATA
+
+CFG_LDB = "/root/reference/config_LDB_low_complexity.txt"
+CFG_RA = "/root/reference/config_RA_low_complexity.txt"
+
+W, H = 176, 144
+
+
+@pytest.fixture(scope="module")
+def qcif(tmp_path_factory):
+    from thor_tpu.enc.encoder import read_yuv_frames
+    frames = []
+    for (y, u, v) in read_yuv_frames(
+            str(TESTDATA / "test_cif.yuv"), 352, 288):
+        frames.append((y[:H, :W].copy(), u[:H // 2, :W // 2].copy(),
+                       v[:H // 2, :W // 2].copy()))
+    return frames
+
+
+def _run_pair(cfg, frames, n, tmp_path, **kw):
+    import jax
+    from thor_tpu.enc.encoder import EncoderParams, Encoder
+    from thor_tpu.parallel.encode import ShardedEncoder
+
+    def params():
+        return EncoderParams.from_config_file(
+            cfg, width=W, height=H, num_frames=n, device_encode=1, **kw)
+
+    seq_out = tmp_path / "seq.bit"
+    enc = Encoder(params())
+    rec_seq = enc.encode_sequence(frames[:max(n, n + 8)], str(seq_out))
+
+    par_out = tmp_path / "par.bit"
+    se = ShardedEncoder(params(), devices=jax.devices()[:8])
+    rec_par = se.encode_sequence(frames[:max(n, n + 8)], str(par_out))
+
+    assert seq_out.read_bytes() == par_out.read_bytes(), \
+        "parallel stream differs from sequential"
+    assert len(rec_seq) == len(rec_par)
+    for (a, b, c), (d, e, f) in zip(rec_seq, rec_par):
+        assert np.array_equal(a, d)
+        assert np.array_equal(b, e)
+        assert np.array_equal(c, f)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(CFG_LDB),
+                    reason="reference configs absent")
+def test_parallel_encode_ldb(qcif, tmp_path):
+    _run_pair(CFG_LDB, qcif, 4, tmp_path)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(CFG_RA),
+                    reason="reference configs absent")
+def test_parallel_encode_ra_dyadic(qcif, tmp_path):
+    # dyadic sub-GOP: B levels 2+ frames wide measure concurrently
+    _run_pair(CFG_RA, qcif, 9, tmp_path)

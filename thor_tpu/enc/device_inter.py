@@ -1199,21 +1199,32 @@ def _ref_stacks(enc, refs):
     if cache is None:
         cache = enc._dev_ref_cache = {}
     rec = getattr(enc, '_current_rec', None)
+    # per-device slots: under the GOP-parallel encoder a reference
+    # produced on one mesh device is copied device-to-device (the ICI
+    # analog of the reference-plane all-gather) instead of re-uploaded
+    dev = jax.config.jax_default_device
     planes = []
     keys = []
     for i, r in enumerate(refs):
         kind = 'i' if enc.ref_array[i] < 0 else 'r'
         key = (kind, r.frame_num)
-        ent = cache.get(key)
-        if ent is None:
-            ent = (jnp.asarray(r.y), jnp.asarray(r.u), jnp.asarray(r.v))
-            cache[key] = ent
-            if rec is not None:
-                rec.setdefault('uploads', {})[key] = (r.y, r.u, r.v)
+        slot = cache.get(key)
+        if slot is None:
+            slot = cache[key] = {}
             # bounded: active refs live in a 33-deep sliding window;
             # an evicted-but-still-referenced frame just re-uploads
             while len(cache) > 40:
                 cache.pop(next(iter(cache)))
+        ent = slot.get(dev)
+        if ent is None and slot:
+            src = next(iter(slot.values()))
+            ent = tuple(jax.device_put(a, dev) for a in src)
+            slot[dev] = ent
+        if ent is None:
+            ent = (jnp.asarray(r.y), jnp.asarray(r.u), jnp.asarray(r.v))
+            slot[dev] = ent
+            if rec is not None:
+                rec.setdefault('uploads', {})[key] = (r.y, r.u, r.v)
         planes.append(ent)
         keys.append(key)
     if rec is not None:
@@ -1226,12 +1237,19 @@ def _ref_stacks(enc, refs):
 def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
     """Device-searched P-frame encode; returns (y, u, v) recon and
     writes the frame syntax through the exact host writers."""
+    ctx = measure_inter_frame_device(enc, org_y, org_u, org_v)
+    return finish_inter_frame_device(enc, w, ctx)
+
+
+def measure_inter_frame_device(enc, org_y, org_u, org_v):
+    """Stage 1 of the device P-frame encode: dispatch every
+    measurement program (phases + ME + variants + per-size trials +
+    intra search) and return a context WITHOUT any host sync - the
+    GOP-parallel encoder dispatches one frame per mesh device
+    back-to-back so the level's frames measure concurrently, then
+    drains finish_inter_frame_device in coding order."""
     import math
-    from .device_intra import (search_intra_frame_device,
-                               intra_split_decisions, _encode_scan_fn)
-    from ..dec.native_inputs import (_downleft_available_v,
-                                     _upright_available_v)
-    from .block import BlockInfo, BlockParam
+    from .device_intra import search_intra_frame_device
 
     W, H = enc.width, enc.height
     p = enc.params
@@ -1311,6 +1329,35 @@ def encode_inter_frame_device(enc, w, org_y, org_u, org_v):
         intra_dev = search_intra_frame_device(
             org_y_d, org_u_d, org_v_d, qpY, qpC, lam, W, H,
             p.encoder_speed > 1, enc.num_intra_modes, intra_quant=False)
+
+    return dict(org_y=org_y, org_u=org_u, org_v=org_v,
+                org_y_d=org_y_d, org_u_d=org_u_d, org_v_d=org_v_d,
+                phY=phY, phU=phU, phV=phV, variants=variants,
+                trials_dev=trials_dev, intra_dev=intra_dev,
+                sign=sign, sign_bi=sign_bi, qpY=qpY, qpC=qpC, lam=lam,
+                lam_me=lam_me, K_uni=K_uni, rec=rec)
+
+
+def finish_inter_frame_device(enc, w, ctx):
+    """Stage 2: one batched fetch of the measurement maps, host
+    decision walk, final reconstruction + filters, syntax emission."""
+    from .block import BlockInfo, BlockParam
+    from .device_intra import intra_split_decisions
+    W, H = enc.width, enc.height
+    p = enc.params
+    _t = TIMER
+    (org_y, org_u, org_v) = (ctx['org_y'], ctx['org_u'], ctx['org_v'])
+    (org_y_d, org_u_d, org_v_d) = (ctx['org_y_d'], ctx['org_u_d'],
+                                   ctx['org_v_d'])
+    phY, phU, phV = ctx['phY'], ctx['phU'], ctx['phV']
+    variants, trials_dev = ctx['variants'], ctx['trials_dev']
+    intra_dev = ctx['intra_dev']
+    sign, sign_bi = ctx['sign'], ctx['sign_bi']
+    qpY, qpC = ctx['qpY'], ctx['qpC']
+    lam, lam_me = ctx['lam'], ctx['lam_me']
+    K_uni = ctx['K_uni']
+    rec = ctx['rec']
+    enc._current_rec = rec
 
     with _t.stage('measure_fetch'):
         fetch_keys = ('ssd_coded', 'ssd_pred', 'bits', 'cbp_y', 'cbp_u',
@@ -1610,7 +1657,8 @@ def _finish_frame_device(enc, w, y_d, u_d, v_d, org_y_d, qpY, qpC):
     cache = getattr(enc, '_dev_ref_cache', None)
     if cache is None:
         cache = enc._dev_ref_cache = {}
-    cache[('r', enc.frame_num)] = (refY, refU, refV)
+    cache[('r', enc.frame_num)] = {
+        jax.config.jax_default_device: (refY, refU, refV)}
     while len(cache) > 40:
         cache.pop(next(iter(cache)))
 

@@ -571,6 +571,17 @@ class Encoder:
 
     def encode_frame(self, w: BitWriter):
         """enc/encode_frame.c:65-194."""
+        ctx = self.encode_frame_begin(w)
+        self.encode_frame_finish(w, ctx)
+
+    def encode_frame_begin(self, w: BitWriter):
+        """Frame encode through the device measurement dispatch:
+        lambda + frame header, then either a full encode (host paths,
+        device I frames; returns None) or the device P/B measurement
+        context WITHOUT any host sync - the GOP-parallel encoder
+        (parallel/encode.py) measures a whole dependency level
+        concurrently before draining encode_frame_finish in coding
+        order."""
         p = self.params
         self.deblock_data.reset()
 
@@ -607,12 +618,9 @@ class Encoder:
             num_sb_ver = 0
             num_sb_hor = 0
         elif device_p:
-            from .device_inter import encode_inter_frame_device
-            y, u, v = encode_inter_frame_device(
-                self, w, self.org_y, self.org_u, self.org_v)
-            self.rec_y[:], self.rec_u[:], self.rec_v[:] = y, u, v
-            num_sb_ver = 0
-            num_sb_hor = 0
+            from .device_inter import measure_inter_frame_device
+            return measure_inter_frame_device(
+                self, self.org_y, self.org_u, self.org_v)
         else:
             num_sb_hor = (self.width + MAX_BLOCK_SIZE - 1) \
                 // MAX_BLOCK_SIZE
@@ -651,8 +659,16 @@ class Encoder:
             w.putbits(1, 1)
             w.putbits(1, 0)     # sb_signal: per-SB decision bits follow
             self._clpf_frame(w)
+        return None
 
-        # Sliding-window reference update
+    def encode_frame_finish(self, w: BitWriter, ctx=None):
+        """Drain a staged device measurement (decision walk + final
+        reconstruction + filters + emission), then apply the
+        sliding-window reference update (common to every path)."""
+        if ctx is not None:
+            from .device_inter import finish_inter_frame_device
+            y, u, v = finish_inter_frame_device(self, w, ctx)
+            self.rec_y[:], self.rec_u[:], self.rec_v[:] = y, u, v
         self.refs = [RefFrame(self.rec_y.copy(), self.rec_u.copy(),
                               self.rec_v.copy(), self.frame_num)] \
             + self.refs[:-1]
@@ -1038,10 +1054,18 @@ class Encoder:
 
     def _synth_interp(self, r1, r2, ratio, pos):
         """Interpolated-reference synthesis, identical to the decoder's
-        resynthesis (common/temporal_interp.c:972-1053)."""
-        from ..ops.temporal_interp import interpolate_frames
+        resynthesis (common/temporal_interp.c:972-1053).
+
+        With _defer_interp set (the GOP-parallel planner), only the
+        resolved reference objects are recorded - the synthesis runs at
+        frame-stage time, once the planner knows both references'
+        planes are materialized."""
         ref1 = self.refs[r1]
         ref2 = self.refs[r2]
+        if getattr(self, '_defer_interp', False):
+            self._pending_interp = (ref1, ref2, ratio, pos)
+            return
+        from ..ops.temporal_interp import interpolate_frames
         y, u, v = interpolate_frames(ref1, ref2, ratio, pos)
         self.interp_frame = RefFrame(y, u, v, self.frame_num)
 

@@ -1,0 +1,223 @@
+"""GOP-parallel encode over a device mesh.
+
+TPU-first parallel decomposition of the sequence loop
+(enc/mainenc.c:222-580, single-threaded in the reference): within a
+dyadic sub-GOP the B-frame levels are 2-8 frames wide and frames of
+one level are mutually independent given their references
+(enc/mainenc.c:48-71 defines the coding order), so each level's frames
+measure concurrently - one frame per mesh device, dispatched
+back-to-back with no host sync between dispatches - and drain in
+coding order. Reference planes produced on one device are copied
+device-to-device on demand (the ICI analog of the reference-plane
+all-gather); the serial entropy stage stays per-frame on the host, and
+the stream is assembled in coding order, byte-identical to the
+sequential Encoder.encode_sequence output (tests/test_parallel_encode).
+
+This is the 'gop' data-parallel axis of the mesh; within-frame tile
+parallelism composes with it the same way the sharded decoder's
+gop x tile mesh does (parallel/stream.py).
+"""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+
+from ..enc.encoder import (Encoder, EncoderParams, RefFrame,
+                           _reorder_frame_offset, _log2i)
+from ..codec.blockdata import DeblockData
+from ..bitstream.writer import BitWriter
+from ..codec.constants import B_FRAME, MAX_REORDER_BUFFER
+
+
+class _PendingRef:
+    """Sliding-window placeholder for a frame planned but not yet
+    reconstructed. Carries the frame number (all the planner reads);
+    fill() turns it into a full padded reference in place, so clones
+    holding it see the planes the moment the producing frame drains."""
+
+    def __init__(self, frame_num):
+        self.frame_num = frame_num
+        self.y = self.u = self.v = None
+
+    @property
+    def filled(self):
+        return self.y is not None
+
+    def fill(self, rec_y, rec_u, rec_v):
+        r = RefFrame(rec_y, rec_u, rec_v, self.frame_num)
+        self.y, self.u, self.v = r.y, r.u, r.v
+
+
+class ShardedEncoder:
+    """Encode a sequence with dependency-level frames in flight
+    concurrently across `devices` (byte-identical to the sequential
+    encoder)."""
+
+    def __init__(self, params: EncoderParams, devices=None):
+        import jax
+        if devices is None:
+            devices = jax.devices()
+        self.devices = list(devices)
+        self.params = params
+        self.enc = Encoder(params)
+        self.enc._defer_interp = True
+
+    # -- one planned frame ------------------------------------------------
+
+    def _plan_frame(self, frames, frame_num, num_encoded, sub_gop,
+                    min_interp_depth, last_PorI):
+        """Run the master's schedule arithmetic for one frame and
+        snapshot an independent frame-encoder clone."""
+        enc = self.enc
+        enc.frame_num = frame_num - self.params.skip
+        enc._pending_interp = None
+        enc._setup_frame(num_encoded, sub_gop, min_interp_depth,
+                         last_PorI)
+        fe = copy.copy(enc)
+        fe.refs = list(enc.refs)
+        fe.ref_array = list(enc.ref_array)
+        fe.deblock_data = DeblockData(enc.width, enc.height)
+        H, W = enc.height, enc.width
+        fe.rec_y = np.zeros((H, W), np.uint8)
+        fe.rec_u = np.zeros((H // 2, W // 2), np.uint8)
+        fe.rec_v = np.zeros((H // 2, W // 2), np.uint8)
+        fe.mvcand = {}
+        fe._defer_interp = False
+        y, u, v = frames[frame_num]
+        fe.org_y, fe.org_u, fe.org_v = y, u, v
+        pend = enc._pending_interp
+        # master window gains a placeholder the drain fills in coding
+        # order (twin of encode_frame_finish's sliding-window update)
+        enc.refs = [_PendingRef(enc.frame_num)] + enc.refs[:-1]
+        return fe, pend
+
+    @staticmethod
+    def _deps_ready(fe, pend):
+        """True when no resolved reference of this frame is an
+        unfilled placeholder (same-level dependency)."""
+        for i, r in enumerate(fe.ref_array):
+            if r >= 0:
+                ref = fe.refs[r]
+                if isinstance(ref, _PendingRef) and not ref.filled:
+                    return False
+        if pend is not None:
+            for ref in pend[:2]:
+                if isinstance(ref, _PendingRef) and not ref.filled:
+                    return False
+        return True
+
+    # -- sequence loop ----------------------------------------------------
+
+    def encode_sequence(self, frames, out_path: str):
+        """Mirror of Encoder.encode_sequence with level-concurrent
+        staged measurement (no checkpoint/resume)."""
+        import jax
+        p = self.params
+        enc = self.enc
+        frames = list(frames)
+        input_total = len(frames)
+        w0 = BitWriter()
+        out = open(out_path, "wb")
+
+        # Sequence header (enc/mainenc.c:195-212)
+        w0.putbits(16, enc.width)
+        w0.putbits(16, enc.height)
+        w0.putbits(1, p.enable_pb_split)
+        w0.putbits(1, p.enable_tb_split)
+        w0.putbits(2, p.max_num_ref - 1)
+        w0.putbits(1, p.interp_ref)
+        w0.putbits(3, p.max_delta_qp)
+        w0.putbits(1, p.deblocking)
+        w0.putbits(1, p.clpf)
+        w0.putbits(1, p.use_block_contexts)
+        w0.putbits(1, p.enable_bipred)
+
+        sub_gop = max(1, p.num_reorder_pics + 1)
+        min_interp_depth = _log2i(p.num_reorder_pics + 1) - 2
+        if p.frame_rate > 30:
+            min_interp_depth -= 1
+
+        num_encoded = 0
+        last_PorI = -1
+        enc.last_intra_frame_num = 0
+        frame_num0 = p.skip
+
+        rec_avail = {}
+        last_output = -1
+        display = []
+        batch = []   # staged (fe, w, ctx, dev) awaiting drain
+
+        def drain():
+            nonlocal last_output
+            for (fe, w, ctx, dev) in batch:
+                with jax.default_device(dev):
+                    fe.encode_frame_finish(w, ctx)
+                out.write(w.flush_frame())
+                # master window: fill this frame's placeholder
+                for ref in enc.refs:
+                    if isinstance(ref, _PendingRef) \
+                            and ref.frame_num == fe.frame_num \
+                            and not ref.filled:
+                        ref.fill(fe.rec_y, fe.rec_u, fe.rec_v)
+                        break
+                rec_avail[fe.frame_num % MAX_REORDER_BUFFER] = (
+                    fe.rec_y.copy(), fe.rec_u.copy(), fe.rec_v.copy())
+                nxt = (last_output + 1) % MAX_REORDER_BUFFER
+                if nxt in rec_avail:
+                    last_output += 1
+                    display.append(rec_avail.pop(nxt))
+            batch.clear()
+
+        while (frame_num0 < p.skip + p.num_frames
+               and frame_num0 + 1 <= input_total):
+            for k in range(sub_gop):
+                offset = _reorder_frame_offset(k, sub_gop,
+                                               p.dyadic_coding)
+                frame_num = frame_num0 + offset
+                if frame_num < p.skip:
+                    continue
+                fe, pend = self._plan_frame(frames, frame_num,
+                                            num_encoded, sub_gop,
+                                            min_interp_depth, last_PorI)
+                num_encoded += 1
+                last_PorI = 0 if fe.frame_type != B_FRAME \
+                    else last_PorI + 1
+
+                if not self._deps_ready(fe, pend) \
+                        or len(batch) >= len(self.devices):
+                    drain()
+                if pend is not None:
+                    ref1, ref2, ratio, pos = pend
+                    from ..ops.temporal_interp import interpolate_frames
+                    y, u, v = interpolate_frames(ref1, ref2, ratio, pos)
+                    fe.interp_frame = RefFrame(y, u, v, fe.frame_num)
+                dev = self.devices[len(batch) % len(self.devices)]
+                w = w0 if num_encoded == 1 else BitWriter()
+                with jax.default_device(dev):
+                    ctx = fe.encode_frame_begin(w)
+                batch.append((fe, w, ctx, dev))
+                if ctx is None:
+                    # host/intra path encoded fully in begin; drain so
+                    # the next frame sees its reconstruction
+                    drain()
+            drain()
+            # Revert to PPP when the sub-GOP no longer fits
+            # (enc/mainenc.c:586-590)
+            if ((frame_num0 + sub_gop + 1 > input_total
+                 or frame_num0 + sub_gop >= p.skip + p.num_frames)
+                    and sub_gop >= 2):
+                p.HQperiod = sub_gop
+                sub_gop = 1
+                p.num_reorder_pics = 0
+            frame_num0 += sub_gop
+        drain()
+        out.close()
+        for i in range(1, MAX_REORDER_BUFFER + 1):
+            nxt = (last_output + i) % MAX_REORDER_BUFFER
+            if nxt in rec_avail:
+                display.append(rec_avail.pop(nxt))
+            else:
+                break
+        return display
