@@ -41,3 +41,50 @@ def test_native_matches_python_identical_frames():
     assert np.array_equal(y1, y2)
     assert np.array_equal(u1, u2)
     assert np.array_equal(v1, v2)
+
+
+@pytest.mark.parametrize("ratio,pos", [(2, 1), (4, 1), (4, 3)])
+def test_device_matches_python(ratio, pos):
+    """The batched device pyramid (ops/device_interp.py) is bit-exact
+    vs the Python oracle - same contract as the native C twin."""
+    from thor_tpu.ops.temporal_interp import interpolate_frames
+    from thor_tpu.ops.device_interp import interpolate_frames_device
+    a, b = _Ref(176, 144, 20), _Ref(176, 144, 21)
+    yp, up, vp = interpolate_frames(a, b, ratio, pos, native=False)
+    out = interpolate_frames_device(a, b, ratio, pos)
+    yd, ud, vd = (np.asarray(x) for x in out[:3])
+    assert np.array_equal(yp, yd)
+    assert np.array_equal(up, ud)
+    assert np.array_equal(vp, vd)
+    # the padded reference planes match pad_plane of the output
+    ypad = np.asarray(out[3])
+    assert np.array_equal(ypad, np.pad(yp, 96, mode="edge"))
+
+
+@pytest.mark.slow
+def test_device_matches_python_real_frames():
+    from .conftest import TESTDATA
+    from thor_tpu.enc.encoder import read_yuv_frames
+    from thor_tpu.ops.temporal_interp import interpolate_frames
+    from thor_tpu.ops.device_interp import interpolate_frames_device
+
+    frames = []
+    for (y, u, v) in read_yuv_frames(str(TESTDATA / "test_cif.yuv"),
+                                     352, 288):
+        frames.append((y, u, v))
+
+    class R:
+        def __init__(self, f):
+            self.y = np.pad(f[0], 96, mode="edge")
+            self.u = np.pad(f[1], 48, mode="edge")
+            self.v = np.pad(f[2], 48, mode="edge")
+
+    for (i, j, ratio, pos) in [(0, 4, 4, 1), (3, 7, 8, 5),
+                               (1, 2, 16, 7)]:
+        a, b = R(frames[i]), R(frames[j])
+        yp, up, vp = interpolate_frames(a, b, ratio, pos, native=False)
+        yd, ud, vd = (np.asarray(x) for x in
+                      interpolate_frames_device(a, b, ratio, pos)[:3])
+        assert np.array_equal(yp, yd), (i, j, ratio, pos)
+        assert np.array_equal(up, ud), (i, j, ratio, pos)
+        assert np.array_equal(vp, vd), (i, j, ratio, pos)
