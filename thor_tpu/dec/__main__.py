@@ -114,6 +114,42 @@ def main(argv=None):
                 row += f"{st['size_mode'].get((ft, sz, md), 0):9d}  "
             print(row.rstrip())
 
+    # super-mode distribution (dec/maindec.c:268-291)
+    nref = max(st.get("num_ref_max", 1), 1)
+    sm_cols = ["SKIP", "SPLIT", "INTERr0", "MERGE", "BIPRED", "INTRA"] \
+        + [f"INTERr{i}" for i in range(1, nref)]
+    for ft in ("P", "B"):
+        if not any(f == ft for (f, _, _) in st["super_stat"]):
+            continue
+        print(f"\nSuper-mode distribution for {ft} pictures:")
+        print(f"{'':16s}" + "".join(f"{c:>9s}" for c in sm_cols))
+        for sz in (8, 16, 32, 64):
+            row = f"{sz:2d} x {sz:2d}-blocks:"
+            row = f"{row:<16s}"
+            for c in range(len(sm_cols)):
+                row += f"{st['super_stat'].get((ft, sz, c), 0):9d}"
+            print(row)
+
+    # ref_idx x size distribution (dec/maindec.c:293-315)
+    for ft in ("P", "B"):
+        if not any(f == ft for (f, _, _) in st["size_ref"]):
+            continue
+        print(f"\nRef_idx and size distribution for {ft} pictures:")
+        for sz in (8, 16, 32, 64):
+            row = f"{sz:2d} x {sz:2d}-blocks:"
+            row = f"{row:<16s}"
+            for r in range(nref):
+                row += f"{st['size_ref'].get((ft, sz, r), 0):6d}"
+            print(row)
+
+    # bi-ref pair counts (dec/maindec.c:316-325)
+    for ft in ("P", "B"):
+        if any(f == ft for (f, _) in st["bi_ref"]):
+            row = f"bi-ref-{ft}:  "
+            for j in range(16):
+                row += f"{st['bi_ref'].get((ft, j), 0):7d}"
+            print(row)
+
     print("\nPARAMETER STATISTICS (8x8 units):")
     for ft in ("I", "P", "B"):
         modes = {mode_names[m]: c for (f, m), c in st["mode"].items()

@@ -117,6 +117,8 @@ class Decoder:
         # Lightweight bit_count_t analogue (dec/maindec.c:197-329)
         self.stats = ({"frame_type": {}, "mode": {}, "size": {},
                        "size_mode": {}, "frame_bits": {}, "cats": {},
+                       "size_ref": {}, "bi_ref": {}, "super_stat": {},
+                       "num_ref_max": 0,
                        "seq_header": 0} if collect_stats else None)
 
     def decode_stream(self, path: str):
@@ -308,7 +310,31 @@ class Decoder:
 
     def _make_interp_frame_native(self, fh):
         """Interp-ref resynthesis from the native frame header
-        (dec/decode_frame.c:91-109); blocks on the two source refs."""
+        (dec/decode_frame.c:91-109).
+
+        On the jax backend the whole pyramid runs as device programs
+        (ops/device_interp.py, bit-exact vs the host oracle) and the
+        synthesized reference never crosses the link; THOR_DEVICE_INTERP=0
+        falls back to the host C twin (which must fetch both source
+        refs and re-upload the result)."""
+        import os
+        dfn = fh.display_frame_num
+        r1 = self.refs[fh.ref_array[1]]
+        r2 = self.refs[fh.ref_array[2]]
+        off1 = r2.frame_num - dfn
+        off2 = dfn - r1.frame_num
+        if off1 < 0 and off2 < 0:
+            off1, off2 = -off1, -off2
+        if off1 == off2:
+            off1 = off2 = 1
+
+        if os.environ.get("THOR_DEVICE_INTERP", "1") != "0":
+            from ..ops.device_interp import interpolate_frames_device
+            out = interpolate_frames_device(r1, r2, off1 + off2, off2)
+            self.interp_frame = _DeviceRef(out[3], out[4], out[5], dfn,
+                                           padded=True)
+            return
+
         from ..ops.temporal_interp import interpolate_frames
 
         class _HostRef:
@@ -318,16 +344,8 @@ class Decoder:
                 self.u = np.asarray(r.u)
                 self.v = np.asarray(r.v)
 
-        ref1 = _HostRef(self.refs[fh.ref_array[1]])
-        ref2 = _HostRef(self.refs[fh.ref_array[2]])
-        dfn = fh.display_frame_num
-        off1 = ref2.frame_num - dfn
-        off2 = dfn - ref1.frame_num
-        if off1 < 0 and off2 < 0:
-            off1, off2 = -off1, -off2
-        if off1 == off2:
-            off1 = off2 = 1
-        y, u, v = interpolate_frames(ref1, ref2, off1 + off2, off2)
+        y, u, v = interpolate_frames(_HostRef(r1), _HostRef(r2),
+                                     off1 + off2, off2)
         self.interp_frame = RefFrame(y, u, v, dfn)
 
     def decode_frame(self, br: BitReader):
@@ -353,6 +371,7 @@ class Decoder:
             if fs.bit_cats:
                 for cat, v in fs.bit_cats.items():
                     st["cats"][(ft, cat)] = st["cats"].get((ft, cat), 0) + v
+            st["num_ref_max"] = max(st["num_ref_max"], fs.num_ref)
             for b in fs.blocks:
                 # counts in 8x8 units like bit_count_t (dec/maindec.c:240+)
                 n8 = (b.bwidth // 8) * (b.bheight // 8)
@@ -362,6 +381,17 @@ class Decoder:
                 st["size"][skey] = st["size"].get(skey, 0) + n8
                 smkey = (ft, b.size, b.mode)
                 st["size_mode"][smkey] = st["size_mode"].get(smkey, 0) + n8
+                # size_and_ref_idx / bi_ref in block units
+                # (dec/read_bits.c:389, :526)
+                if b.mode == 2:     # MODE_INTER
+                    rk = (ft, b.size, b.ref_idx0)
+                    st["size_ref"][rk] = st["size_ref"].get(rk, 0) + 1
+                elif b.mode == 3:   # MODE_BIPRED
+                    bk = (ft, b.ref_idx0 * fs.num_ref + b.ref_idx1)
+                    st["bi_ref"][bk] = st["bi_ref"].get(bk, 0) + 1
+            for (sz, code) in (fs.super_stat or ()):
+                sk = (ft, sz, code)
+                st["super_stat"][sk] = st["super_stat"].get(sk, 0) + 1
 
         if fs.interp_ref_frame:
             self._make_interp_frame(fs)
@@ -394,26 +424,7 @@ class Decoder:
         fh = nf.hdr
         if fh.interp_ref_frame and fh.num_ref > 2 \
                 and fh.ref_array[0] == -1:
-            from ..ops.temporal_interp import interpolate_frames
-
-            class _HostRef:
-                def __init__(self, r):
-                    self.frame_num = r.frame_num
-                    self.y = np.asarray(r.y)
-                    self.u = np.asarray(r.u)
-                    self.v = np.asarray(r.v)
-
-            ref1 = _HostRef(self.refs[fh.ref_array[1]])
-            ref2 = _HostRef(self.refs[fh.ref_array[2]])
-            dfn = fh.display_frame_num
-            off1 = ref2.frame_num - dfn
-            off2 = dfn - ref1.frame_num
-            if off1 < 0 and off2 < 0:
-                off1, off2 = -off1, -off2
-            if off1 == off2:
-                off1 = off2 = 1
-            y, u, v = interpolate_frames(ref1, ref2, off1 + off2, off2)
-            self.interp_frame = RefFrame(y, u, v, dfn)
+            self._make_interp_frame_native(fh)
         cfg, inp = build_frame_inputs_native(
             nf, seq, self.refs, self.interp_frame, seq.deblocking)
         yd, ud, vd, packed = _run_frame(cfg, inp)

@@ -108,6 +108,11 @@ class FrameSyntax:
     clpf_all: int = 0
     clpf_bits: Optional[np.ndarray] = None  # (sb_v, sb_h) -1 = no bit read
     bit_cats: Optional[dict] = None          # per-category bit counts
+    #: per-super-mode-decode (size, stat_code) records for P/B full
+    #: blocks, stat_code per the reference's super_mode_stat slots
+    #: (STAT_SKIP/SPLIT/REF_IDX0/MERGE/BIPRED/INTRA/REF_IDX1+..,
+    #: dec/decode_block.c:527,576,619)
+    super_stat: Optional[list] = None
 
 
 def read_mv(br: BitReader, mvp):
@@ -277,7 +282,8 @@ class FrameParser:
             frame_type=frame_type, stat_frame_type=stat_frame_type, qp=qp,
             num_intra_modes=num_intra_modes, num_ref=num_ref,
             ref_array=ref_array, interp_ref_frame=interp_ref_frame,
-            display_frame_num=display_frame_num, deblock_data=self.dd)
+            display_frame_num=display_frame_num, deblock_data=self.dd,
+            super_stat=[])
 
         self.fs = fs
         self.qpb = qp
@@ -382,11 +388,17 @@ class FrameParser:
         code = get_vlc0_limit(maxbit, br)
         bc = self.block_context
 
+        # super_mode_stat slot indices (common/types.h:87-93)
+        STAT_SKIP, STAT_SPLIT, STAT_REF_IDX0 = 0, 1, 2
+        STAT_MERGE, STAT_BIPRED, STAT_INTRA, STAT_REF_IDX1 = 3, 4, 5, 6
+        stat_mode = STAT_SKIP
+
         if fs.interp_ref_frame:
             if (bc.index == 2 or bc.index > 3) and size > MIN_BLOCK_SIZE:
                 if code < 3:
                     code = (code + 1) % 3
             if split_possible and code == 1:
+                fs.super_stat.append((size, STAT_SPLIT))
                 return 1
             if not split_possible and code > 0:
                 code += 1
@@ -396,21 +408,27 @@ class FrameParser:
                 self.mode = MODE_SKIP
             elif code == 2:
                 self.mode = MODE_MERGE
+                stat_mode = STAT_MERGE
             elif code == 3:
                 self.mode = MODE_BIPRED
+                stat_mode = STAT_BIPRED
             elif code == 4:
                 self.mode = MODE_INTRA
+                stat_mode = STAT_INTRA
             elif code == 4 + num_ref:
                 self.mode = MODE_INTER
                 self.ref_idx = 0
+                stat_mode = STAT_REF_IDX0
             else:
                 self.mode = MODE_INTER
                 self.ref_idx = code - 4
+                stat_mode = STAT_REF_IDX1 + self.ref_idx - 1
         else:
             if (bc.index == 2 or bc.index > 3) and size > MIN_BLOCK_SIZE:
                 if code < 4:
                     code = (code + 1) % 4
             if split_possible and code == 1:
+                fs.super_stat.append((size, STAT_SPLIT))
                 return 1
             if not split_possible and code > 0:
                 code += 1
@@ -421,15 +439,21 @@ class FrameParser:
             elif code == 2:
                 self.mode = MODE_INTER
                 self.ref_idx = 0
+                stat_mode = STAT_REF_IDX0
             elif code == 3:
                 self.mode = MODE_MERGE
+                stat_mode = STAT_MERGE
             elif code == 4:
                 self.mode = MODE_BIPRED
+                stat_mode = STAT_BIPRED
             elif code == 5:
                 self.mode = MODE_INTRA
+                stat_mode = STAT_INTRA
             else:
                 self.mode = MODE_INTER
                 self.ref_idx = code - 5
+                stat_mode = STAT_REF_IDX1 + self.ref_idx - 1
+        fs.super_stat.append((size, stat_mode))
         return 0
 
     # --- block syntax (dec/read_bits.c:221-820) ---

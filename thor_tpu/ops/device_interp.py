@@ -46,23 +46,17 @@ MAX_LEVELS = 4
 PAD_L = 32          # upper pyramid levels' padding (thor_interp.c)
 
 
-def _scale_val_j(v, numer: int, denom: int):
-    """Exact _scale_val (round half away from zero) with static
-    numer/denom."""
-    if denom == 0:
-        return jnp.zeros_like(v)
+def _scale_val_j(v, numer, denom):
+    """Exact _scale_val (round half away from zero); numer/denom may be
+    traced scalars (denom = wt0 is always positive here, so the C's
+    denom<0 normalization is dead; the general formula subsumes the
+    numer==+-denom shortcut cases exactly)."""
     prod = v * numer
-    if denom < 0:
-        denom, prod = -denom, -prod
     mag = (jnp.abs(prod) + denom // 2) // denom
     return jnp.where(prod >= 0, mag, -mag)
 
 
-def _scale_mv_j(mvx, mvy, numer: int, denom: int):
-    if numer == denom:
-        return mvx, mvy
-    if numer == -denom:
-        return -mvx, -mvy
+def _scale_mv_j(mvx, mvy, numer, denom):
     return _scale_val_j(mvx, numer, denom), _scale_val_j(mvy, numer, denom)
 
 
@@ -87,8 +81,7 @@ def _window_gather(picp, ys, xs, size: int, pad: int, hP: int, wP: int):
 
 
 @lru_cache(maxsize=None)
-def _me_level_fn(w: int, h: int, pad: int, guided: bool, wt0: int,
-                 wt1: int):
+def _me_level_fn(w: int, h: int, pad: int, guided: bool):
     """Jitted raster-scan bidirectional ME for one pyramid level
     (already pic0/pic1-swapped by the caller when reversed).
 
@@ -121,7 +114,7 @@ def _me_level_fn(w: int, h: int, pad: int, guided: bool, wt0: int,
         b = sad(pic1p, ys1, xs1)
         return jnp.abs(a - b).sum()
 
-    def f(pic0p, pic1p, guide_mv1):
+    def f(pic0p, pic1p, guide_mv1, wt0, wt1):
         g0 = pic0p
         g1 = pic1p
 
@@ -227,42 +220,60 @@ def _me_level_fn(w: int, h: int, pad: int, guided: bool, wt0: int,
                                            jnp.where(col0, dc, 0)))
                 return (diff * lam) >> (LAMBDA_SHIFT + ACC_BITS)
 
-            def full_cost(mx, my):
-                m0x, m0y = _scale_mv_j(mx, my, -wt1, wt0)
-                return mv_cost(mx, my) + sad_pair(
-                    g0, g1, xstart, ystart, m0x, m0y, mx, my)
+            def full_cost_vec(mxs, mys):
+                """Batched rate + bi-SAD cost for [M] MV candidates
+                (one vectorized window gather instead of M unrolled
+                SAD subgraphs - keeps the scan body's compiled graph
+                small and the gathers wide)."""
+                m0x, m0y = _scale_mv_j(mxs, mys, -wt1, wt0)
+                xs0 = xstart + ((m0x + ACC_ROUND) >> ACC_BITS)
+                xs1 = xstart + ((mxs + ACC_ROUND) >> ACC_BITS)
+                ys0 = ystart + ((m0y + ACC_ROUND) >> ACC_BITS)
+                ys1 = ystart + ((mys + ACC_ROUND) >> ACC_BITS)
+                a = jax.vmap(lambda ys, xs: _window_gather(
+                    g0, ys, xs, bbs, pad, hP, wP))(ys0, xs0)
+                b = jax.vmap(lambda ys, xs: _window_gather(
+                    g1, ys, xs, bbs, pad, hP, wP))(ys1, xs1)
+                return mv_cost(mxs, mys) + jnp.abs(a - b).sum((1, 2))
 
             # --- adaptive search over the candidate slots ------------
+            base_costs = full_cost_vec(cx, cy)
             best_cost = jnp.full((), COST_MAX, jnp.int32)
             best_x = cx[0]
             best_y = cy[0]
             # the (4+c) pruning multiplier counts COMPACTED candidates
             # (the C list holds only valid ones), not slot positions
             c_eff = jnp.zeros((), jnp.int32)
+            dxs4 = jnp.asarray([-1, 1, 0, 0], jnp.int32)
+            dys4 = jnp.asarray([0, 0, -1, 1], jnp.int32)
             for c in range(K):
-                cost = full_cost(cx[c], cy[c])
-                ref_x, ref_y = cx[c], cy[c]
-                gate = cv[c] & (((4 + c_eff) * cost) // 8 < best_cost)
+                cost0 = base_costs[c]
+                gate = cv[c] & (((4 + c_eff) * cost0) // 8 < best_cost)
                 c_eff = c_eff + cv[c].astype(jnp.int32)
-                shift = jnp.full((), shift0, jnp.int32)
-                active = gate
-                for _ in range(n_ref_iters):
+
+                def refine_body(_, st):
+                    cost, rx, ry, shift, active = st
                     off = jnp.left_shift(1, jnp.maximum(shift, 0))
-                    it_better = jnp.zeros((), bool)
                     # the four cross points are built from the
                     # iteration-start ref_mv (tuple display semantics)
-                    bx0, by0 = ref_x, ref_y
-                    for (ddx, ddy) in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                        rx = bx0 + ddx * off
-                        ry = by0 + ddy * off
-                        bcost = full_cost(rx, ry)
-                        better = active & (bcost < cost)
-                        cost = jnp.where(better, bcost, cost)
-                        ref_x = jnp.where(better, rx, ref_x)
-                        ref_y = jnp.where(better, ry, ref_y)
+                    cxs = rx + dxs4 * off
+                    cys = ry + dys4 * off
+                    bc = full_cost_vec(cxs, cys)
+                    it_better = jnp.zeros((), bool)
+                    for d in range(4):
+                        better = active & (bc[d] < cost)
+                        cost = jnp.where(better, bc[d], cost)
+                        rx = jnp.where(better, cxs[d], rx)
+                        ry = jnp.where(better, cys[d], ry)
                         it_better = it_better | better
                     shift = jnp.where(it_better, shift, shift - 1)
                     active = active & (shift >= ACC_BITS)
+                    return (cost, rx, ry, shift, active)
+
+                cost, ref_x, ref_y, _, _ = lax.fori_loop(
+                    0, n_ref_iters, refine_body,
+                    (cost0, cx[c], cy[c],
+                     jnp.full((), shift0, jnp.int32), gate))
                 upd = cv[c] & (cost < best_cost)
                 best_cost = jnp.where(upd, cost, best_cost)
                 best_x = jnp.where(upd, ref_x, best_x)
@@ -384,8 +395,7 @@ def _me_level_fn(w: int, h: int, pad: int, guided: bool, wt0: int,
 
 
 @lru_cache(maxsize=None)
-def _upscale_fn(bwi: int, bhi: int, bwo: int, bho: int, wt0: int,
-                wt1: int):
+def _upscale_fn(bwi: int, bhi: int, bwo: int, bho: int):
     """upscale_mv_data (temporal_interp.c:247-271): 2x MV upscale to
     the finer grid."""
     def f(mv1):
@@ -399,8 +409,7 @@ def _upscale_fn(bwi: int, bhi: int, bwo: int, bho: int, wt0: int,
 
 
 @lru_cache(maxsize=None)
-def _mot_comp_fn(w: int, h: int, pad_y: int, pad_c: int, wt0: int,
-                 wt1: int):
+def _mot_comp_fn(w: int, h: int, pad_y: int, pad_c: int):
     """interpolate_frame (temporal_interp.c:920-970): averaged bi-MC
     synthesis of the full YUV frame from the 8-cell MV map, batched.
 
@@ -455,7 +464,7 @@ def _mot_comp_fn(w: int, h: int, pad_y: int, pad_c: int, wt0: int,
         out = px.transpose(0, 2, 1, 3).reshape(bh * cs, bw * cs)
         return out[:H_, :W_].astype(jnp.uint8)
 
-    def f(p0y, p0u, p0v, p1y, p1u, p1v, mv0, mv1):
+    def f(p0y, p0u, p0v, p1y, p1u, p1v, mv0, mv1, wt0, wt1):
         m0 = mv0
         m1 = mv1
         y = comp_plane(p0y, p1y, pad_y, m0, m1, w, h, bs, wP, hP, mcpad)
@@ -517,13 +526,14 @@ def interpolate_frames_device(ref0, ref1, ratio: int, pos: int):
         padl = lv0[lvl][1]
         a, b_ = lv0[lvl][0], lv1[lvl][0]
         pic0, pic1 = (b_, a) if reversed_ else (a, b_)
-        fn = _me_level_fn(wl, hl, padl, guide is not None, wt0, wt1)
+        fn = _me_level_fn(wl, hl, padl, guide is not None)
         g = guide if guide is not None \
             else jnp.zeros((bh * bw, 2), jnp.int32)
-        mv0, mv1, _bg, _, _ = fn(pic0, pic1, g)
+        mv0, mv1, _bg, _, _ = fn(pic0, pic1, g, jnp.int32(wt0),
+                                 jnp.int32(wt1))
         if lvl > 0:
             _, _, bwo, bho = grid(lvl - 1)
-            guide = _upscale_fn(bw, bh, bwo, bho, wt0, wt1)(mv1)
+            guide = _upscale_fn(bw, bh, bwo, bho)(mv1)
 
     wl, hl, bw, bh = grid(0)
     a, b_ = lv0[0][0], lv1[0][0]
@@ -532,6 +542,7 @@ def interpolate_frames_device(ref0, ref1, ratio: int, pos: int):
     p0v = jnp.asarray(ref1.v if reversed_ else ref0.v)
     p1u = jnp.asarray(ref0.u if reversed_ else ref1.u)
     p1v = jnp.asarray(ref0.v if reversed_ else ref1.v)
-    return _mot_comp_fn(w, h, 96, 48, wt0, wt1)(
+    return _mot_comp_fn(w, h, 96, 48)(
         pic0, p0u, p0v, pic1, p1u, p1v,
-        mv0.reshape(bh, bw, 2), mv1.reshape(bh, bw, 2))
+        mv0.reshape(bh, bw, 2), mv1.reshape(bh, bw, 2),
+        jnp.int32(wt0), jnp.int32(wt1))

@@ -143,43 +143,57 @@ class ShardedDecoder:
     """Parse-then-batch decoder: see module docstring."""
 
     def __init__(self, mesh=None, gop: int = 0, tile: int = 0,
-                 devices=None):
+                 devices=None, parse: str = "native",
+                 lookahead: int = 32):
         self.mesh = mesh if mesh is not None else make_decode_mesh(
             devices, gop=gop, tile=tile)
+        self.parse_mode = parse
+        if parse == "native":
+            try:
+                from ..native import lib
+                lib()
+            except Exception:
+                self.parse_mode = "python"
+        #: how many frames the serial parse runs ahead of
+        #: reconstruction (bounds memory for long streams; must cover
+        #: at least one full sub-GOP to expose the B levels)
+        self.lookahead = lookahead
+
+    def _parse_frame(self, seq, br, ref_frame_nums):
+        if self.parse_mode == "native":
+            from ..dec.native_adapter import native_parse_to_syntax
+            return native_parse_to_syntax(br.data, br.pos, seq,
+                                          ref_frame_nums)
+        parser = FrameParser(seq, br, ref_frame_nums)
+        return parser.parse()
 
     def decode_stream(self, path: str):
-        """Decode a full stream; returns frames in display order."""
+        """Decode a full stream; returns frames in display order
+        (list wrapper over the streaming generator)."""
+        return list(self.iter_frames(path))
+
+    def iter_frames(self, path: str):
+        """Streaming decode: yields (y, u, v) in display order.
+
+        The serial entropy parse (native C) runs `lookahead` frames
+        ahead of reconstruction; dependency levels are scheduled over
+        the parsed-but-pending window and reconstructed planes are
+        released once outside every future frame's 33-deep reference
+        window - memory stays bounded for arbitrarily long streams."""
         seq = None
         refs = None
-        interp_frame = None
-        parsed = []   # (fs, ref_objects, interp) in decode order
-
-        # --- serial host parse, recording each frame's reference set ---
-        for payload in iter_frames(path):
-            br = BitReader(payload)
-            if seq is None:
-                seq = SequenceHeader.read(br)
-                z = lambda: np.zeros((seq.height, seq.width), np.uint8)
-                zc = lambda: np.zeros((seq.height // 2, seq.width // 2),
-                                      np.uint8)
-                refs = [RefFrame(z(), zc(), zc(), 0)
-                        for _ in range(MAX_REF_FRAMES)]
-            parser = FrameParser(seq, br, [r.frame_num for r in refs])
-            fs = parser.parse()
-            entry = {'fs': fs, 'deps': [], 'interp_pair': None}
-            if fs.interp_ref_frame and fs.num_ref > 2 \
-                    and fs.ref_array[0] == -1:
-                entry['interp_pair'] = (refs[fs.ref_array[1]],
-                                        refs[fs.ref_array[2]])
-            entry['refs_window'] = list(refs)
-            parsed.append(entry)
-            ph = _Placeholder(fs.display_frame_num, len(parsed) - 1)
-            refs = [ph] + refs[:-1]
-
-        # --- dependency levels over decode order ---
-        produced = [False] * len(parsed)
-        done = [False] * len(parsed)
-        recon = [None] * len(parsed)
+        payloads = iter_frames(path)
+        parsed = {}     # decode index -> entry (pending window)
+        produced = {}
+        done = {}
+        recon = {}
+        n_parsed = 0
+        eos = False
+        self._levels = []
+        self.last_level_sizes = self._levels
+        reorder = {}
+        last_output = -1
+        yielded_upto = -1
 
         def used_slots(fs):
             """Reference slots any block actually reads. Thor's RA
@@ -217,18 +231,52 @@ class ShardedDecoder:
 
         def ready(i):
             return all(getattr(s, 'producer', None) is None
-                       or produced[s.producer] for s in deps(i))
+                       or produced.get(s.producer, False)
+                       for s in deps(i))
 
-        order = list(range(len(parsed)))
-        self._levels = []
-        while not all(done):
-            level = [i for i in order
-                     if not done[i] and ready(i)]
+        def parse_more():
+            nonlocal seq, refs, n_parsed, eos
+            while not eos and n_parsed - len(done) < self.lookahead:
+                payload = next(payloads, None)
+                if payload is None:
+                    eos = True
+                    return
+                br = BitReader(payload)
+                if seq is None:
+                    # the first length-prefixed payload carries the
+                    # sequence header AND the first frame
+                    seq = SequenceHeader.read(br)
+                    z = lambda: np.zeros((seq.height, seq.width),
+                                         np.uint8)
+                    zc = lambda: np.zeros(
+                        (seq.height // 2, seq.width // 2), np.uint8)
+                    refs = [RefFrame(z(), zc(), zc(), 0)
+                            for _ in range(MAX_REF_FRAMES)]
+                fs = self._parse_frame(seq, br,
+                                       [r.frame_num for r in refs])
+                entry = {'fs': fs, 'interp_pair': None}
+                if fs.interp_ref_frame and fs.num_ref > 2 \
+                        and fs.ref_array[0] == -1:
+                    entry['interp_pair'] = (refs[fs.ref_array[1]],
+                                            refs[fs.ref_array[2]])
+                entry['refs_window'] = list(refs)
+                parsed[n_parsed] = entry
+                ph = _Placeholder(fs.display_frame_num, n_parsed)
+                refs = [ph] + refs[:-1]
+                n_parsed += 1
+
+        import os as _os
+        # debug knob: bound the batch width (1 = no batching) to
+        # bisect level-batching issues from dependency issues
+        _chunk = int(_os.environ.get("THOR_LEVEL_CHUNK", "0") or 0)
+
+        while True:
+            parse_more()
+            pend = [i for i in sorted(parsed) if not done.get(i)]
+            if not pend:
+                break
+            level = [i for i in pend if ready(i)]
             assert level, "dependency cycle in reference structure"
-            import os as _os
-            # debug knob: bound the batch width (1 = no batching) to
-            # bisect level-batching issues from dependency issues
-            _chunk = int(_os.environ.get("THOR_LEVEL_CHUNK", "0") or 0)
             if _chunk:
                 level = level[:_chunk]
             self._levels.append(len(level))
@@ -239,7 +287,7 @@ class ShardedDecoder:
 
                 def resolve(r):
                     if getattr(r, 'producer', None) is not None:
-                        if not produced[r.producer]:
+                        if not produced.get(r.producer, False):
                             # listed but unused by any block (see
                             # used_slots): its pixels are never read,
                             # a zero frame keeps the batch shape
@@ -286,9 +334,35 @@ class ShardedDecoder:
                             vb[j].astype(np.uint8))
                 produced[i] = True
                 done[i] = True
+                reorder[parsed[i]['fs'].display_frame_num
+                        % MAX_REORDER_BUFFER] = i
 
-        # --- display-order output (dec/maindec.c:176-195) ---
-        order_d = sorted(range(len(parsed)),
-                         key=lambda i: parsed[i]['fs'].display_frame_num)
-        self.last_level_sizes = self._levels
-        return [recon[i] for i in order_d]
+            # display-order output (dec/maindec.c:176-195)
+            while True:
+                nxt = (last_output + 1) % MAX_REORDER_BUFFER
+                if nxt not in reorder:
+                    break
+                last_output += 1
+                i = reorder.pop(nxt)
+                yielded_upto = max(yielded_upto, i)
+                yield recon[i]
+
+            # release: a reconstructed frame can still be referenced
+            # while inside any future frame's 33-deep sliding window;
+            # once every pending/unparsed frame's window excludes it
+            # AND it has been yielded, drop it (bounded memory)
+            floor = min(pend) if pend else n_parsed
+            held = set(reorder.values())
+            for i in [k for k in recon
+                      if k < min(floor, yielded_upto + 1) - MAX_REF_FRAMES
+                      and k not in held]:
+                del recon[i]
+                del parsed[i]
+
+        # tail of the reorder buffer
+        for k in range(1, MAX_REORDER_BUFFER + 1):
+            nxt = (last_output + k) % MAX_REORDER_BUFFER
+            if nxt in reorder:
+                yield recon[reorder.pop(nxt)]
+            else:
+                break
