@@ -312,11 +312,14 @@ class Decoder:
         """Interp-ref resynthesis from the native frame header
         (dec/decode_frame.c:91-109).
 
-        On the jax backend the whole pyramid runs as device programs
-        (ops/device_interp.py, bit-exact vs the host oracle) and the
-        synthesized reference never crosses the link; THOR_DEVICE_INTERP=0
-        falls back to the host C twin (which must fetch both source
-        refs and re-upload the result)."""
+        With THOR_DEVICE_INTERP=1 the whole pyramid runs as device
+        programs (ops/device_interp.py, bit-exact vs the host oracle)
+        and the synthesized reference never crosses the link. The
+        default is the host C twin: the device bi-ME's per-block
+        lax.scan is latency-bound (~10.8K steps at 1080p, measured
+        ~4.8 s/frame on a v5e vs ~50 ms host C + one upload), so until
+        the scan gets the Pallas treatment the host path is faster on
+        every link (ROADMAP round-5)."""
         import os
         dfn = fh.display_frame_num
         r1 = self.refs[fh.ref_array[1]]
@@ -328,7 +331,7 @@ class Decoder:
         if off1 == off2:
             off1 = off2 = 1
 
-        if os.environ.get("THOR_DEVICE_INTERP", "1") != "0":
+        if os.environ.get("THOR_DEVICE_INTERP", "0") != "0":
             from ..ops.device_interp import interpolate_frames_device
             out = interpolate_frames_device(r1, r2, off1 + off2, off2)
             self.interp_frame = _DeviceRef(out[3], out[4], out[5], dfn,
