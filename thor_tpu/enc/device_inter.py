@@ -266,7 +266,7 @@ def _measure_fn(H: int, W: int, R: int, has_bi: bool, bslot0: int,
     the 400x encode gap's first factor)."""
     lutY = JK.build_luma_mc_lut(seq_bipred)
     lutC = JK.build_chroma_mc_lut()
-    me_body = DM.me_frame_body(H, W, R)
+    me_body = DM.me_frame_body(H, W, R, seq_bipred)
 
     def f(orgY, refY, refU, refV, sign, sign_bi, lam_me):
         phY = JK.mc_phase_conv(refY, lutY, PAD)
@@ -637,26 +637,35 @@ def _dispatch_final(H, W, trials_dev, phY, phU, phV, fin, org_y_d,
     intra_q_dev = None
     if fin['intra'] is not None:
         arr, arrc, npad = fin['intra']
-        luma_fn, chroma_fn = _encode_scan_fn(speed > 1, npad,
-                                             intra_quant=False)
+        from .device_intra import (use_pallas_enc, pallas_scan_luma,
+                                   pallas_scan_chroma)
+        if use_pallas_enc():
+            y_d, q16y, cbpy = pallas_scan_luma(
+                y_d, org_y_d, arr, jnp.int32(qpY), speed > 1, False)
+            u_d, v_d, q16u, cbpu, q16v, cbpv = pallas_scan_chroma(
+                u_d, v_d, org_u_d, org_v_d, arrc, jnp.int32(qpC),
+                speed > 1, False)
+        else:
+            luma_fn, chroma_fn = _encode_scan_fn(speed > 1, npad,
+                                                 intra_quant=False)
 
-        def pad_for(plane):
-            return jnp.pad(jnp.asarray(plane, jnp.int32),
-                           ((JK.PADI, JK.PADE), (JK.PADI, JK.PADE)))
+            def pad_for(plane):
+                return jnp.pad(jnp.asarray(plane, jnp.int32),
+                               ((JK.PADI, JK.PADE), (JK.PADI, JK.PADE)))
 
-        P = pad_for(y_d)
-        O = pad_for(org_y_d)
-        P, q16y, cbpy = luma_fn(P, O, arr, jnp.int32(qpY))
-        y_d = P[JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]
+            P = pad_for(y_d)
+            O = pad_for(org_y_d)
+            P, q16y, cbpy = luma_fn(P, O, arr, jnp.int32(qpY))
+            y_d = P[JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]
 
-        Pu = pad_for(u_d)
-        Pv = pad_for(v_d)
-        Ou = pad_for(org_u_d)
-        Ov = pad_for(org_v_d)
-        Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(Pu, Pv, Ou, Ov, arrc,
-                                                   jnp.int32(qpC))
-        u_d = Pu[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
-        v_d = Pv[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
+            Pu = pad_for(u_d)
+            Pv = pad_for(v_d)
+            Ou = pad_for(org_u_d)
+            Ov = pad_for(org_v_d)
+            Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(
+                Pu, Pv, Ou, Ov, arrc, jnp.int32(qpC))
+            u_d = Pu[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
+            v_d = Pv[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]
         intra_q_dev = {'qy': q16y, 'qu': q16u, 'qv': q16v,
                        'cy': cbpy, 'cu': cbpu, 'cv': cbpv}
     return y_d, u_d, v_d, intra_q_dev

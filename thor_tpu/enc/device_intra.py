@@ -363,6 +363,67 @@ def _walk_tree(split, modes, W, H):
     return out
 
 
+def use_pallas_enc() -> bool:
+    """Pallas whole-scan encoder kernel on real TPUs; the XLA lax.scan
+    elsewhere. Override with THOR_PALLAS_ENC=1/0 (1 off-TPU implies
+    interpret mode). Mirrors dec/reconstruct_jax.use_pallas_intra."""
+    import os
+    v = os.environ.get("THOR_PALLAS_ENC")
+    if v is not None:
+        return v not in ("0", "")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _pallas_enc_interpret() -> bool:
+    import os
+    if os.environ.get("THOR_PALLAS_ENC"):
+        try:
+            return jax.default_backend() != "tpu"
+        except Exception:
+            return True
+    return False
+
+
+def pallas_scan_luma(y_d, org_y_d, arr, qp, fast: bool, intra: bool):
+    """Pallas twin of _encode_scan_fn's luma scan on UNPADDED [H, W]
+    planes. Returns (y [H, W] i32, q16 [n, 16, 16] i16, cbp [n] bool)
+    rows aligned with arr's valid-first order."""
+    from ..ops.pallas_enc_intra import (
+        SIZES_Y, build_enc_records, encode_scan_pallas)
+    recs, cnt = build_enc_records(arr, SIZES_Y)
+    planes, q16 = encode_scan_pallas(
+        y_d[None], org_y_d[None], recs, cnt, qp, SIZES_Y, fast, intra,
+        interpret=_pallas_enc_interpret())
+    n = len(arr["valid"])
+    q = q16[:n, 0]
+    valid = jnp.asarray(np.asarray(arr["valid"]) != 0)[:q.shape[0]]
+    cbp = (q != 0).any(axis=(1, 2)) & valid
+    return planes[0], q, cbp
+
+
+def pallas_scan_chroma(u_d, v_d, ou_d, ov_d, arrc, qp, fast: bool,
+                       intra: bool):
+    """Pallas twin of the chroma scan. Returns (u, v, q16u, cbpu,
+    q16v, cbpv)."""
+    from ..ops.pallas_enc_intra import (
+        SIZES_C, build_enc_records, encode_scan_pallas)
+    recs, cnt = build_enc_records(arrc, SIZES_C)
+    planes, q16 = encode_scan_pallas(
+        jnp.stack([jnp.asarray(u_d), jnp.asarray(v_d)]),
+        jnp.stack([jnp.asarray(ou_d), jnp.asarray(ov_d)]),
+        recs, cnt, qp, SIZES_C, fast, intra,
+        interpret=_pallas_enc_interpret())
+    n = len(arrc["valid"])
+    qu, qv = q16[:n, 0], q16[:n, 1]
+    valid = jnp.asarray(np.asarray(arrc["valid"]) != 0)[:qu.shape[0]]
+    cu = (qu != 0).any(axis=(1, 2)) & valid
+    cv = (qv != 0).any(axis=(1, 2)) & valid
+    return planes[0], planes[1], qu, cu, qv, cv
+
+
 @lru_cache(maxsize=None)
 def _encode_scan_fn(fast: bool, n_steps: int,
                     intra_quant: bool = True):
@@ -494,13 +555,6 @@ def encode_intra_frame_device(enc, w, org_y, org_u, org_v):
         "valid": padn(np.ones(n, np.int32)),
     }
 
-    luma_fn, chroma_fn = _encode_scan_fn(fast, npad)
-    P = pad_for(np.zeros((H, W)), 0)
-    O = pad_for(org_y, 0)
-    P, q16y, cbpy = luma_fn(P, O, arr, jnp.int32(qpY))
-    y = np.asarray(P[JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]) \
-        .astype(np.uint8)
-
     arrc = dict(arr)
     arrc["ty"] = padn(ty // 2)
     arrc["tx"] = padn(tx // 2)
@@ -508,16 +562,38 @@ def encode_intra_frame_device(enc, w, org_y, org_u, org_v):
     arrc["toplen"] = padn(sz // 2 + up, 4)
     arrc["leftlen"] = padn(sz // 2 + dl, 4)
     arrc["cbx_nonzero"] = padn((tx // 2 > 0).astype(np.int32))
-    Pu = pad_for(np.zeros((H // 2, W // 2)), 0)
-    Pv = pad_for(np.zeros((H // 2, W // 2)), 0)
-    Ou = pad_for(org_u, 0)
-    Ov = pad_for(org_v, 0)
-    Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(Pu, Pv, Ou, Ov, arrc,
-                                               jnp.int32(qpC))
-    u = np.asarray(Pu[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]) \
-        .astype(np.uint8)
-    v = np.asarray(Pv[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]) \
-        .astype(np.uint8)
+
+    if use_pallas_enc():
+        yj, q16y, cbpy = pallas_scan_luma(
+            jnp.zeros((H, W), jnp.int32), jnp.asarray(org_y, jnp.int32),
+            arr, jnp.int32(qpY), fast, True)
+        uj, vj, q16u, cbpu, q16v, cbpv = pallas_scan_chroma(
+            jnp.zeros((H // 2, W // 2), jnp.int32),
+            jnp.zeros((H // 2, W // 2), jnp.int32),
+            jnp.asarray(org_u, jnp.int32), jnp.asarray(org_v, jnp.int32),
+            arrc, jnp.int32(qpC), fast, True)
+        y = np.asarray(yj).astype(np.uint8)
+        u = np.asarray(uj).astype(np.uint8)
+        v = np.asarray(vj).astype(np.uint8)
+    else:
+        luma_fn, chroma_fn = _encode_scan_fn(fast, npad)
+        P = pad_for(np.zeros((H, W)), 0)
+        O = pad_for(org_y, 0)
+        P, q16y, cbpy = luma_fn(P, O, arr, jnp.int32(qpY))
+        y = np.asarray(P[JK.PADI:JK.PADI + H, JK.PADI:JK.PADI + W]) \
+            .astype(np.uint8)
+        Pu = pad_for(np.zeros((H // 2, W // 2)), 0)
+        Pv = pad_for(np.zeros((H // 2, W // 2)), 0)
+        Ou = pad_for(org_u, 0)
+        Ov = pad_for(org_v, 0)
+        Pu, Pv, q16u, cbpu, q16v, cbpv = chroma_fn(Pu, Pv, Ou, Ov, arrc,
+                                                   jnp.int32(qpC))
+        u = np.asarray(
+            Pu[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]) \
+            .astype(np.uint8)
+        v = np.asarray(
+            Pv[JK.PADI:JK.PADI + H // 2, JK.PADI:JK.PADI + W // 2]) \
+            .astype(np.uint8)
 
     q16y = np.asarray(q16y)
     q16u = np.asarray(q16u)

@@ -9,13 +9,17 @@ schedule simultaneously:
   1. L2 (1/4 res): exhaustive +-8 displacement search as global-shift
      SAD maps (one lax.scan step per displacement; box-sum reductions
      produce the 16/32/64-block SAD surfaces simultaneously).
-  2. L1 (1/2 res) and L0 (full res): +-2 windowed refinement - one
-     dynamic-slice gather of a (b+2r)^2 reference window per block,
-     then dense shifted-slice SADs (VPU work, no further indirection).
+  2. L1 (1/2 res) and L0 (full res): +-2 windowed refinement. The
+     per-block reference windows come from the banded roll-doubling
+     gather (ops/windowed.py) - fully parallel rolls+selects, replacing
+     the round-4 vmapped dynamic_slice forms that lowered to ~32K-step
+     sequential XLA while-loops (~0.8 s/frame at 1080p).
   3. Quarter-pel: the full 7x7 quarter-pel neighbourhood evaluated
-     exactly against the all-phase interpolation planes (the same
-     planes the MC kernels consume), one [16, b+2, b+2] window gather
-     per block.
+     exactly against the all-phase interpolation values, recomputed
+     in-window from the gathered full-pel windows with the same f32
+     tap accumulation as ops/jax_kernels.mc_phase_conv (integer-exact:
+     all partial sums < 2^24), so the SADs are bit-identical to
+     slicing the phase planes without ever indexing them per block.
 
 Every stage adds the reference's lambda_me * mv-rate term
 (quote_vlc table 10, enc/putvlc.c:133-229) with a zero predictor -
@@ -33,9 +37,17 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import jax_kernels as JK
+from ..ops.windowed import banded_windows
 
 PAD = JK.PAD_Y          # 96 (PADDING_Y, common/global.h:64)
 L2_RANGE = 8            # +-8 quarter-res px = +-32 full-pel
+
+# MV magnitude bounds per stage (quarter-res L2 result +-8 doubles per
+# level, +-2 per refinement pass) - they size the banded strips.
+M_L1 = 2 * L2_RANGE + 2          # 18
+M_L0 = 2 * (2 * L2_RANGE + 2) + 2    # 38
+M_SEL = M_L0 + 2                 # 40
+M_SUB = M_SEL                    # 40 (subpel searches +-3 qpel only)
 
 
 def _down2(p):
@@ -58,63 +70,59 @@ def _mv_bits(dx, dy):
     return _mv_comp_bits(dx) + _mv_comp_bits(dy)
 
 
-def _blocks_of(plane, b, HB, WB):
-    """[HB*b, WB*b] -> [HB*WB, b, b]."""
+def _blocks4(plane, b, HB, WB):
+    """[HB*b, WB*b] -> [HB, WB, b, b]."""
     return plane[:HB * b, :WB * b].reshape(HB, b, WB, b) \
-        .transpose(0, 2, 1, 3).reshape(HB * WB, b, b)
-
-
-def _refine_windows(refp, padL, ty, tx, mvy, mvx, b, rr):
-    """Per-block (b+2rr)^2 windows at block origin + current MV - rr."""
-    ys = padL + ty + mvy - rr
-    xs = padL + tx + mvx - rr
-
-    def g(y, x):
-        return lax.dynamic_slice(refp, (y, x), (b + 2 * rr, b + 2 * rr))
-
-    return jax.vmap(g)(ys, xs).astype(jnp.int32)
-
-
-def _argmin_scan(win, ob, b, offsets, cost_of):
-    """Scan an offset list over per-block windows: each step slices
-    [N, b, b] at (dy, dx) inside the window and scores it. Keeps the
-    compiled graph small (one SAD body) regardless of |offsets|."""
-    N = ob.shape[0]
-
-    def body(carry, d):
-        best, bdy, bdx = carry
-        dy, dx = d[0], d[1]
-        w = lax.dynamic_slice(win, (0, dy, dx), (N, b, b))
-        sad = jnp.abs(ob - w).sum(axis=(1, 2))
-        cost = cost_of(sad, dy, dx)
-        better = cost < best
-        return (jnp.where(better, cost, best),
-                jnp.where(better, dy, bdy),
-                jnp.where(better, dx, bdx)), None
-
-    init = (jnp.full((N,), 1 << 30, jnp.int32),
-            jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32))
-    (best, bdy, bdx), _ = lax.scan(body, init, jnp.asarray(offsets))
-    return best, bdy, bdx
+        .transpose(0, 2, 1, 3)
 
 
 def _offs(rr):
-    return np.array([(dy + rr, dx + rr)
-                     for dy in range(-rr, rr + 1)
-                     for dx in range(-rr, rr + 1)], np.int32)
+    return [(dy, dx)
+            for dy in range(-rr, rr + 1)
+            for dx in range(-rr, rr + 1)]
 
 
-def _refine_step(ob, refp, padL, ty, tx, mvy, mvx, b, rr, lam_me, qscale):
+def _gather_windows(refp, padL, mvy, mvx, b, rr, M):
+    """[HB, WB, b+2rr, b+2rr] windows at block origin + mv - rr, via
+    the banded roll gather. mvy/mvx: [HB, WB] level-pixel MVs bounded
+    by M - rr."""
+    return banded_windows(refp, mvy - rr, mvx - rr, padL, padL, b,
+                          b + 2 * rr, M)
+
+
+def _argmin_offsets(win, ob, b, rr, cost_of):
+    """Unrolled (2rr+1)^2-offset SAD/cost argmin over banded windows.
+    win: [HB, WB, b+2rr, b+2rr]; ob: [HB, WB, b, b] int32. Ties keep
+    the earliest offset (scan-order parity with round-4's
+    _argmin_scan)."""
+    HB, WB = win.shape[:2]
+    best = jnp.full((HB, WB), 1 << 30, jnp.int32)
+    bdy = jnp.zeros((HB, WB), jnp.int32)
+    bdx = jnp.zeros((HB, WB), jnp.int32)
+    for (dy, dx) in _offs(rr):
+        w = win[:, :, dy + rr:dy + rr + b, dx + rr:dx + rr + b] \
+            .astype(jnp.int32)
+        sad = jnp.abs(ob - w).sum(axis=(2, 3))
+        cost = cost_of(sad, dy + rr, dx + rr)
+        better = cost < best
+        best = jnp.where(better, cost, best)
+        bdy = jnp.where(better, jnp.int32(dy + rr), bdy)
+        bdx = jnp.where(better, jnp.int32(dx + rr), bdx)
+    return best, bdy, bdx
+
+
+def _refine_step(ob, refp, padL, mvy, mvx, b, rr, lam_me, qscale, M):
     """One +-rr refinement pass at integer pixels of the current level.
-    mv in level pixels; qscale converts level px -> quarter-pel for the
-    rate term. Returns updated (mvy, mvx)."""
-    win = _refine_windows(refp, padL, ty, tx, mvy, mvx, b, rr)
+    ob: [HB, WB, b, b] int32; mv in level pixels; qscale converts level
+    px -> quarter-pel for the rate term. Returns updated (mvy, mvx,
+    cost), all [HB, WB]."""
+    win = _gather_windows(refp, padL, mvy, mvx, b, rr, M)
 
     def cost_of(sad, dy, dx):
         rate = _mv_bits((mvx + dx - rr) * qscale, (mvy + dy - rr) * qscale)
         return sad + (lam_me * rate + 0.5).astype(jnp.int32)
 
-    best, bdy, bdx = _argmin_scan(win, ob, b, _offs(rr), cost_of)
+    best, bdy, bdx = _argmin_offsets(win, ob, b, rr, cost_of)
     return mvy + bdy - rr, mvx + bdx - rr, best
 
 
@@ -132,71 +140,72 @@ def _pred_field(mv, HB, WB):
     left = jnp.pad(g, ((0, 0), (1, 0)))[:, :WB]
     up = jnp.pad(g, ((1, 0), (0, 0)))[:HB]
     upright = jnp.pad(g, ((1, 0), (0, 1)))[:HB, 1:]
-    return _med3(left, up, upright).reshape(-1)
+    return _med3(left, up, upright)
 
 
-def _refine_step_sel(ob, refstack, ty, tx, mvy, mvx, slot, b, rr,
-                     lam_me, py, px):
-    """Slot-selected +-rr full-pel refinement with rate measured
-    against the quarter-pel predictor (py, px)."""
-    ys = PAD + ty + mvy - rr
-    xs = PAD + tx + mvx - rr
-
-    def g(s_, y, x):
-        return lax.dynamic_slice(refstack, (s_, y, x),
-                                 (1, b + 2 * rr, b + 2 * rr))[0]
-
-    win = jax.vmap(g)(slot, ys, xs).astype(jnp.int32)
+def _refine_step_pred(ob, refp, mvy, mvx, b, rr, lam_me, py, px, M):
+    """+-rr full-pel refinement with rate measured against the
+    quarter-pel predictor (py, px) [HB, WB]."""
+    win = _gather_windows(refp, PAD, mvy, mvx, b, rr, M)
 
     def cost_of(sad, dy, dx):
         rate = _mv_bits(4 * (mvx + dx - rr) - px,
                         4 * (mvy + dy - rr) - py)
         return sad + (lam_me * rate + 0.5).astype(jnp.int32)
 
-    best, bdy, bdx = _argmin_scan(win, ob, b, _offs(rr), cost_of)
+    best, bdy, bdx = _argmin_offsets(win, ob, b, rr, cost_of)
     return mvy + bdy - rr, mvx + bdx - rr, best
 
 
-def _subpel_step(ob, phases_r, ty, tx, mvy, mvx, b, lam_me, py, px):
-    """Exact 7x7 quarter-pel refinement against the all-phase planes.
+def _subpel_step(ob, refp, lut, mvy, mvx, b, lam_me, py, px):
+    """Exact 7x7 quarter-pel refinement.
 
-    phases_r: [16, Hv, Wv] uint8 all-phase conv output for one
-    reference (JK.mc_phase_conv semantics: value of pixel y with
-    integer offset iv at phases[p, PAD + tap_lo + y + iv]).
+    Computes the phase-plane values in-window: gathers [b+7, b+7]
+    full-pel windows and accumulates the same f32 tap products as
+    JK.mc_phase_conv (bit-identical - every partial sum is an integer
+    < 2^24), so per candidate (qy, qx) the b x b prediction equals
+    phases[p, base+oy : , base+ox :] without a per-block plane index.
     mv in full-pel, (py, px) predictor in quarter-pel; returns
-    quarter-pel MV [N] pair.
+    quarter-pel (mvy, mvx, cost), all [HB, WB].
     """
-    base_y = PAD - 2 + ty + mvy - 1
-    base_x = PAD - 2 + tx + mvx - 1
+    HB, WB = mvy.shape
+    w = b + 7
+    # phases[p, Y, X] covers refpad rows Y..Y+5; the [16, b+2, b+2]
+    # phase window at base_y = PAD - 2 + ty + mv - 1 therefore needs
+    # refpad rows base_y .. base_y + b + 6.
+    gf = banded_windows(refp, mvy, mvx, PAD - 3, PAD - 3, b, w,
+                        M_SUB).astype(jnp.float32)
 
-    def g(y, x):
-        return lax.dynamic_slice(phases_r, (0, y, x), (16, b + 2, b + 2))
+    lut_np = np.asarray(lut)
+    pw = []
+    for p in range(16):
+        acc = jnp.zeros((HB, WB, b + 2, b + 2), jnp.float32)
+        for m, n in zip(*np.nonzero(lut_np[p])):
+            acc = acc + float(lut_np[p, m, n]) \
+                * gf[:, :, m:m + b + 2, n:n + b + 2]
+        v = jnp.floor((acc + 2048.0) / 4096.0)
+        pw.append(jnp.clip(v, 0.0, 255.0).astype(jnp.int16))
 
-    win = jax.vmap(g)(base_y, base_x).astype(jnp.int32)
-    N = ob.shape[0]
-    cands = np.array(
-        [((qy & 3) * 4 + (qx & 3), 1 + (qy >> 2), 1 + (qx >> 2), qy, qx)
-         for qy in range(-3, 4) for qx in range(-3, 4)], np.int32)
-
-    def body(carry, c):
-        best, bq_y, bq_x = carry
-        p, oy, ox, qy, qx = c[0], c[1], c[2], c[3], c[4]
-        w = lax.dynamic_slice(win, (0, p, oy, ox), (N, 1, b, b))[:, 0]
-        sad = jnp.abs(ob - w).sum(axis=(1, 2))
-        rate = _mv_bits(4 * mvx + qx - px, 4 * mvy + qy - py)
-        cost = sad + (lam_me * rate + 0.5).astype(jnp.int32)
-        better = cost < best
-        return (jnp.where(better, cost, best),
-                jnp.where(better, qy, bq_y),
-                jnp.where(better, qx, bq_x)), None
-
-    init = (jnp.full((N,), 1 << 30, jnp.int32),
-            jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32))
-    (best, bq_y, bq_x), _ = lax.scan(body, init, jnp.asarray(cands))
+    best = jnp.full((HB, WB), 1 << 30, jnp.int32)
+    bq_y = jnp.zeros((HB, WB), jnp.int32)
+    bq_x = jnp.zeros((HB, WB), jnp.int32)
+    for qy in range(-3, 4):
+        for qx in range(-3, 4):
+            p = (qy & 3) * 4 + (qx & 3)
+            ooy = 1 + (qy >> 2)
+            oox = 1 + (qx >> 2)
+            wv = pw[p][:, :, ooy:ooy + b, oox:oox + b].astype(jnp.int32)
+            sad = jnp.abs(ob - wv).sum(axis=(2, 3))
+            rate = _mv_bits(4 * mvx + qx - px, 4 * mvy + qy - py)
+            cost = sad + (lam_me * rate + 0.5).astype(jnp.int32)
+            better = cost < best
+            best = jnp.where(better, cost, best)
+            bq_y = jnp.where(better, jnp.int32(qy), bq_y)
+            bq_x = jnp.where(better, jnp.int32(qx), bq_x)
     return 4 * mvy + bq_y, 4 * mvx + bq_x, best
 
 
-def me_frame_body(H: int, W: int, R: int):
+def me_frame_body(H: int, W: int, R: int, seq_bipred: int = 0):
     """Un-jitted whole-frame ME body: per-size (8/16/32/64) per-block
     MV + best-ref selection. Returns dict of (mvy, mvx, slot, cost,
     ref_mvy, ref_mvx) per size with mv in quarter-pel units (sign
@@ -209,12 +218,16 @@ def me_frame_body(H: int, W: int, R: int):
     H2c, W2c = HB16 * 4, WB16 * 4
     disps = np.array([(dy, dx) for dy in range(-L2_RANGE, L2_RANGE + 1)
                       for dx in range(-L2_RANGE, L2_RANGE + 1)], np.int32)
+    lutY = JK.build_luma_mc_lut(seq_bipred)
 
     def f(org, refpad, phases, lam_me):
+        del phases  # subpel recomputes phase values in-window
         o = org.astype(jnp.int32)
-        r0 = refpad.astype(jnp.int32)
-        o1, r1 = _down2(o), _down2(r0)
-        o2, r2 = _down2(o1), _down2(r1)
+        r0 = refpad
+        o1 = _down2(o)
+        r1 = _down2(refpad.astype(jnp.int32)).astype(jnp.uint8)
+        o2, r2 = _down2(o1), _down2(r1.astype(jnp.int32))
+        # r1: [R, Hp/2, Wp/2] u8; r2: [R, Hp/4, Wp/4] int32
         o2c = o2[:H2c, :W2c]
 
         # --- L2 exhaustive global-shift search -------------------------
@@ -261,38 +274,33 @@ def me_frame_body(H: int, W: int, R: int):
                 py = jnp.minimum(jnp.arange(HB) // 2, HB16 - 1)
                 px = jnp.minimum(jnp.arange(WB) // 2, WB16 - 1)
                 _, bdy, bdx = c16
-                mv2y = bdy[:, py][:, :, px].reshape(R, -1)
-                mv2x = bdx[:, py][:, :, px].reshape(R, -1)
+                mv2y = bdy[:, py][:, :, px]
+                mv2x = bdx[:, py][:, :, px]
             else:
                 HB, WB, (_, bdy, bdx) = grids[s]
-                mv2y = bdy.reshape(R, -1)
-                mv2x = bdx.reshape(R, -1)
+                mv2y, mv2x = bdy, bdx
             N = HB * WB
-            ty = (jnp.arange(HB, dtype=jnp.int32)[:, None] * s) \
-                .repeat(WB, 1).reshape(-1)
-            tx = (jnp.arange(WB, dtype=jnp.int32)[None, :] * s) \
-                .repeat(HB, 0).reshape(-1)
-            ob0 = _blocks_of(o, s, HB, WB)
-            ob1 = _blocks_of(o1, s // 2, HB, WB)
+            ob0 = _blocks4(o, s, HB, WB)
+            ob1 = _blocks4(o1, s // 2, HB, WB)
 
             ref_mv = []
             for r in range(R):
                 # L1: mv in half-res px (L2 px * 2), refine +-2
                 m1y, m1x = 2 * mv2y[r], 2 * mv2x[r]
                 m1y, m1x, _ = _refine_step(
-                    ob1, r1[r], PAD // 2, ty // 2, tx // 2, m1y, m1x,
-                    s // 2, 2, lam_me, 8)
+                    ob1, r1[r], PAD // 2, m1y, m1x, s // 2, 2, lam_me,
+                    8, M_L1)
                 # L0: full-pel, refine +-2
                 m0y, m0x = 2 * m1y, 2 * m1x
                 m0y, m0x, cost0 = _refine_step(
-                    ob0, r0[r], PAD, ty, tx, m0y, m0x, s, 2, lam_me, 4)
+                    ob0, r0[r], PAD, m0y, m0x, s, 2, lam_me, 4, M_L0)
                 ref_mv.append((m0y, m0x, cost0))
 
             # best ref by full-pel cost + ~1 bit/ref-index penalty
-            best = jnp.full((N,), 1 << 30, jnp.int32)
-            slot = jnp.zeros((N,), jnp.int32)
-            mfy = jnp.zeros((N,), jnp.int32)
-            mfx = jnp.zeros((N,), jnp.int32)
+            best = jnp.full((HB, WB), 1 << 30, jnp.int32)
+            slot = jnp.zeros((HB, WB), jnp.int32)
+            mfy = jnp.zeros((HB, WB), jnp.int32)
+            mfx = jnp.zeros((HB, WB), jnp.int32)
             for r, (m0y, m0x, cost0) in enumerate(ref_mv):
                 cost = cost0 + (lam_me * r + 0.5).astype(jnp.int32)
                 better = cost < best
@@ -312,46 +320,46 @@ def me_frame_body(H: int, W: int, R: int):
             py = 4 * _pred_field(mfy, HB, WB)
             px = 4 * _pred_field(mfx, HB, WB)
 
-            qy_all = jnp.zeros((N,), jnp.int32)
-            qx_all = jnp.zeros((N,), jnp.int32)
-            qc_all = jnp.full((N,), 1 << 30, jnp.int32)
+            qy_all = jnp.zeros((HB, WB), jnp.int32)
+            qx_all = jnp.zeros((HB, WB), jnp.int32)
+            qc_all = jnp.full((HB, WB), 1 << 30, jnp.int32)
             per_ref = []
             for r, (m0y, m0x, _) in enumerate(ref_mv):
-                m0y, m0x, _ = _refine_step_sel(
-                    ob0, r0, ty, tx, m0y, m0x,
-                    jnp.full((N,), r, jnp.int32), s, 2, lam_me, py, px)
+                m0y, m0x, _ = _refine_step_pred(
+                    ob0, r0[r], m0y, m0x, s, 2, lam_me, py, px, M_SEL)
                 qy, qx, qc = _subpel_step(
-                    ob0, phases[r], ty, tx, m0y, m0x, s, lam_me, py, px)
+                    ob0, r0[r], lutY, m0y, m0x, s, lam_me, py, px)
                 per_ref.append((qy, qx))
                 sel = slot == r
                 qy_all = jnp.where(sel, qy, qy_all)
                 qx_all = jnp.where(sel, qx, qx_all)
                 qc_all = jnp.where(sel, qc, qc_all)
-            ref_y = jnp.stack([v[0] for v in per_ref])
-            ref_x = jnp.stack([v[1] for v in per_ref])
-            out[s] = (qy_all, qx_all, slot, qc_all, ref_y, ref_x)
+            ref_y = jnp.stack([v[0].reshape(-1) for v in per_ref])
+            ref_x = jnp.stack([v[1].reshape(-1) for v in per_ref])
+            out[s] = (qy_all.reshape(-1), qx_all.reshape(-1),
+                      slot.reshape(-1), qc_all.reshape(-1), ref_y, ref_x)
         return out
 
     return f
 
 
 @lru_cache(maxsize=None)
-def _me_frame_fn(H: int, W: int, R: int):
+def _me_frame_fn(H: int, W: int, R: int, seq_bipred: int = 0):
     """Jitted wrapper of me_frame_body."""
-    return jax.jit(me_frame_body(H, W, R))
+    return jax.jit(me_frame_body(H, W, R, seq_bipred))
 
 
-def me_frame(org_y, refpad_stack, phases, lam_me, H, W):
+def me_frame(org_y, refpad_stack, phases, lam_me, H, W, seq_bipred=0):
     """Host wrapper: run the jitted frame ME.
 
     org_y: [H, W] uint8; refpad_stack: [R, H+2*PAD, W+2*PAD] uint8;
-    phases: [R, 16, Hv, Wv] uint8 all-phase planes (uni/bi filter set
-    chosen by the caller to match the sequence).
+    phases: unused (kept for call compatibility - the subpel stage
+    recomputes phase values in-window).
     Returns {size: (mvy_qpel, mvx_qpel, slot, cost, ref_mvy, ref_mvx)}
     np arrays; ref_mvy/ref_mvx are the per-reference [R, N] best MVs.
     """
     R = refpad_stack.shape[0]
-    fn = _me_frame_fn(H, W, R)
+    fn = _me_frame_fn(H, W, R, seq_bipred)
     out = fn(jnp.asarray(org_y), jnp.asarray(refpad_stack), phases,
              jnp.float32(lam_me))
     # one batched fetch: 24 per-map blocking fetches each pay the
