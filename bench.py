@@ -80,6 +80,39 @@ def child_decode():
                       "bit_exact": digest == want}))
 
 
+def child_decode_verify():
+    """Verification-mode e2e decode: per-frame uint32 checksums are
+    computed ON DEVICE and only 4 bytes/frame cross the link (round-4
+    verdict, next item 8 - e2e was proven link-bound at ~96% of the
+    raw-YUV d2h floor, so verification runs should track the
+    device-only number). The warmup full decode validates vs the
+    golden sha256 AND records the per-frame host-twin digests; the
+    timed digest run must reproduce them exactly."""
+    from thor_tpu.dec.decoder import Decoder, frame_digest_np
+
+    dec = Decoder(backend="jax", parse="native")
+    h = hashlib.sha256()
+    want_digs = []
+    n = 0
+    for (y, u, v) in dec.decode_stream(str(BIT)):
+        n += 1
+        h.update(y.tobytes()); h.update(u.tobytes()); h.update(v.tobytes())
+        want_digs.append(int(frame_digest_np(y, u, v)))
+    sha_ok = h.hexdigest() == SHA.read_text().split()[0]
+
+    dec = Decoder(backend="jax", parse="native")
+    digs = list(dec.decode_stream(str(BIT), digest=True))   # warm
+    import jax
+    t0 = time.perf_counter()
+    dec = Decoder(backend="jax", parse="native")
+    digs = list(dec.decode_stream(str(BIT), digest=True))
+    got = [int(x) for x in jax.device_get(digs)]
+    dt = time.perf_counter() - t0
+    print(json.dumps({"fps": round(len(digs) / dt, 2),
+                      "frames": len(digs),
+                      "verified": sha_ok and got == want_digs}))
+
+
 def child_decode_ra16():
     """1080p RA16 (hierarchical-B + interpolated references) e2e decode
     throughput: exercises the device temporal-interpolation pipeline
@@ -280,6 +313,15 @@ def main():
     else:
         notes.append(err)
 
+    if os.environ.get("THOR_BENCH_VERIFY", "1") != "0":
+        vf, err = _run_child("decode_verify", 2400 if on_tpu else 5400,
+                             env)
+        if vf is not None:
+            out["decode_e2e_verify_fps"] = vf["fps"]
+            out["decode_verify_ok"] = vf["verified"]
+        else:
+            notes.append(err)
+
     if os.environ.get("THOR_BENCH_RA16", "1") != "0":
         ra, err = _run_child("decode_ra16", 2400 if on_tpu else 5400,
                              env)
@@ -342,6 +384,7 @@ if __name__ == "__main__":
             os.environ.setdefault(k, v)
         {"probe": child_probe, "decode": child_decode,
          "decode_ra16": child_decode_ra16,
+         "decode_verify": child_decode_verify,
          "decode_device": child_decode_device, "link": child_link,
          "synth": child_synth, "encode": child_encode,
          "encode_device": child_encode_device}[sys.argv[2]]()

@@ -49,6 +49,34 @@ class _DeviceRef:
             self.v = _edge_pad(v, 48)
 
 
+def _frame_digest(packed):
+    """uint32 position-weighted checksum of the packed output plane,
+    computed ON DEVICE (verification-mode decode ships 4 bytes/frame
+    instead of raw YUV)."""
+    from functools import lru_cache
+    import jax
+    import jax.numpy as jnp
+
+    @lru_cache(maxsize=None)
+    def fn(shape):
+        def f(p):
+            v = p.reshape(-1).astype(jnp.uint32)
+            i = jnp.arange(v.shape[0], dtype=jnp.uint32)
+            return jnp.sum(v * (2 * i + 1), dtype=jnp.uint32)
+        return jax.jit(f)
+
+    return fn(packed.shape)(packed)
+
+
+def frame_digest_np(y, u, v):
+    """Host twin of _frame_digest over (y, u, v) planes (the packed
+    layout is y on top, u|v below)."""
+    packed = np.vstack([y, np.hstack([u, v])])
+    val = packed.reshape(-1).astype(np.uint32)
+    i = np.arange(val.size, dtype=np.uint32)
+    return np.uint32(np.sum(val * (2 * i + 1), dtype=np.uint32))
+
+
 class _PackedFetch:
     """One device->host fetch shared by the three plane views of a
     frame. The tunnel link pays ~80 ms RTT per blocking transfer, so
@@ -121,16 +149,27 @@ class Decoder:
                        "num_ref_max": 0,
                        "seq_header": 0} if collect_stats else None)
 
-    def decode_stream(self, path: str):
-        """Yield (y, u, v) frames in display order."""
+    def decode_stream(self, path: str, digest: bool = False):
+        """Yield (y, u, v) frames in display order.
+
+        With digest=True (native+jax pipelined path only) nothing is
+        materialized to the host: each yielded item is a per-frame
+        uint32 DEVICE checksum of the packed output plane
+        (position-weighted sum mod 2^32), so verification runs never
+        pay the raw-YUV device->host link cost (round-4 verdict, next
+        item 8). frame_digest_np is the host twin for cross-checking
+        against sha-validated output."""
         import os
         if (self.backend == "jax" and self.parse_mode == "native"
                 and self.stats is None
                 and os.environ.get("THOR_PIPELINE", "1") not in ("0", "")):
             from .reconstruct_jax import use_fused
             if use_fused():
-                yield from self._decode_stream_pipelined(path)
+                yield from self._decode_stream_pipelined(path, digest)
                 return
+        if digest:
+            raise ValueError("digest mode requires the native+jax "
+                             "pipelined path")
         frames = iter_frames(path)
         first = True
         reorder: dict = {}
@@ -180,7 +219,8 @@ class Decoder:
             else:
                 break
 
-    def _decode_stream_pipelined(self, path: str):
+    def _decode_stream_pipelined(self, path: str,
+                                 digest: bool = False):
         """Deep-pipelined native+fused decode (the production path).
 
         Three overlapped stages hide both the host work and the
@@ -278,10 +318,13 @@ class Decoder:
                 insert_ref_planes(inp, slots, self.refs,
                                   self.interp_frame)
                 yd, ud, vd, packed = _run_frame(cfg, inp)
-                fetch = _PackedFetch(packed)
-                fetch.start()
-                views = tuple(_PlaneView(fetch, i, H, W)
-                              for i in range(3))
+                if digest:
+                    views = _frame_digest(packed)
+                else:
+                    fetch = _PackedFetch(packed)
+                    fetch.start()
+                    views = tuple(_PlaneView(fetch, i, H, W)
+                                  for i in range(3))
                 self.refs = [_DeviceRef(yd, ud, vd,
                                         fh.display_frame_num,
                                         padded=True)] + self.refs[:-1]
@@ -293,15 +336,19 @@ class Decoder:
                     last_output += 1
                     ready.append(reorder.pop(nxt))
                 while len(ready) > depth:
-                    yield tuple(np.asarray(p)
-                                for p in ready.popleft())
+                    item_ = ready.popleft()
+                    yield item_ if digest else tuple(
+                        np.asarray(p) for p in item_)
             while ready:
-                yield tuple(np.asarray(p) for p in ready.popleft())
+                item_ = ready.popleft()
+                yield item_ if digest else tuple(
+                    np.asarray(p) for p in item_)
             for i in range(1, MAX_REORDER_BUFFER + 1):
                 nxt = (last_output + i) % MAX_REORDER_BUFFER
                 if nxt in reorder:
-                    yield tuple(np.asarray(p)
-                                for p in reorder.pop(nxt))
+                    item_ = reorder.pop(nxt)
+                    yield item_ if digest else tuple(
+                        np.asarray(p) for p in item_)
                 else:
                     break
         finally:
@@ -312,14 +359,13 @@ class Decoder:
         """Interp-ref resynthesis from the native frame header
         (dec/decode_frame.c:91-109).
 
-        With THOR_DEVICE_INTERP=1 the whole pyramid runs as device
-        programs (ops/device_interp.py, bit-exact vs the host oracle)
-        and the synthesized reference never crosses the link. The
-        default is the host C twin: the device bi-ME's per-block
-        lax.scan is latency-bound (~10.8K steps at 1080p, measured
-        ~4.8 s/frame on a v5e vs ~50 ms host C + one upload), so until
-        the scan gets the Pallas treatment the host path is faster on
-        every link (ROADMAP round-5)."""
+        On real TPUs the whole pyramid runs on device by default - the
+        round-5 Pallas whole-pass kernels (ops/pallas_interp.py,
+        bit-exact vs the host oracle) - and the synthesized reference
+        never crosses the link. THOR_DEVICE_INTERP picks the path
+        explicitly: 0 = host C twin, 1 = XLA device pyramid
+        (ops/device_interp.py), 2 = Pallas kernels (off-TPU implies
+        interpret mode). Off-TPU the default stays the host C twin."""
         import os
         dfn = fh.display_frame_num
         r1 = self.refs[fh.ref_array[1]]
@@ -331,7 +377,27 @@ class Decoder:
         if off1 == off2:
             off1 = off2 = 1
 
-        if os.environ.get("THOR_DEVICE_INTERP", "0") != "0":
+        mode = os.environ.get("THOR_DEVICE_INTERP")
+        if mode is None:
+            try:
+                import jax
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:
+                on_tpu = False
+            mode = "2" if (on_tpu and self.backend == "jax") else "0"
+        if mode == "2":
+            from ..ops.pallas_interp import interpolate_frames_pallas
+            try:
+                import jax
+                interp = jax.default_backend() != "tpu"
+            except Exception:
+                interp = True
+            out = interpolate_frames_pallas(r1, r2, off1 + off2, off2,
+                                            interpret=interp)
+            self.interp_frame = _DeviceRef(out[3], out[4], out[5], dfn,
+                                           padded=True)
+            return
+        if mode == "1":
             from ..ops.device_interp import interpolate_frames_device
             out = interpolate_frames_device(r1, r2, off1 + off2, off2)
             self.interp_frame = _DeviceRef(out[3], out[4], out[5], dfn,

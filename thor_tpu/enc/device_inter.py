@@ -51,6 +51,7 @@ from ..codec.constants import (
 from ..codec.blockdata import (
     find_block_contexts, get_mv_pred, get_mv_skip)
 from ..ops import jax_kernels as JK
+from ..ops.banded_mc import mc_pred_banded, M_LUMA, M_CHROMA
 from ..ops.coeff_bits import coeff_bits_batch
 from ..bitstream.writer import quote_vlc
 from .inter import quote_mv_bits
@@ -70,16 +71,6 @@ TIMER = StageTimer()
 # ---------------------------------------------------------------------------
 # Device programs
 # ---------------------------------------------------------------------------
-
-def _expand_blocks_to_cells(vals, HB, WB, cpb, H4, W4, fill=0):
-    """[HB*WB] per-block values -> [H4, W4] per-cell map (cells outside
-    the full-block grid get `fill`)."""
-    g = vals.reshape(HB, WB)
-    e = jnp.broadcast_to(g[:, None, :, None], (HB, cpb, WB, cpb)) \
-        .reshape(HB * cpb, WB * cpb)
-    out = jnp.full((H4, W4), fill, e.dtype)
-    return out.at[:HB * cpb, :WB * cpb].set(e)
-
 
 def _blocks_of(plane, b, HB, WB):
     return plane[:HB * b, :WB * b].reshape(HB, b, WB, b) \
@@ -108,7 +99,7 @@ def _recon_blocks(pred, q, s, qp):
 @lru_cache(maxsize=None)
 def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
               has_bi: bool = False, tb: bool = False,
-              fastY2: bool = False):
+              fastY2: bool = False, seq_bipred: int = 0):
     """Jitted per-size trial coding of every full block at K motion
     variants (ME MV, neighbour MVs, zero MV per ref, and - on bipred
     frames - bipred pairs; the candidate set the skip/merge derivation
@@ -136,20 +127,25 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
     if tb:
         zzy2 = zigzag_for(min(s // 2, 16))
         zzc2 = zigzag_for(min(sc // 2, 16))
+    lutY = JK.build_luma_mc_lut(seq_bipred)
+    lutC = JK.build_chroma_mc_lut()
 
-    def f(orgY, orgU, orgV, phY, phU, phV, mvy0, mvx0, slot0,
+    def f(orgY, orgU, orgV, refY, refU, refV, mvy0, mvx0, slot0,
           mvy1, mvx1, slot1, bi, qpY, qpC, sign_uni, sign_bi):
         def gather3(mvyk, mvxk, slotk):
-            mvyc = _expand_blocks_to_cells(mvyk, HB, WB, cpb, H4, W4)
-            mvxc = _expand_blocks_to_cells(mvxk, HB, WB, cpb, H4, W4)
-            slc = _expand_blocks_to_cells(slotk, HB, WB, cpb, H4, W4)
-            pY = JK.mc_gather_from_phases(phY, mvxc, mvyc, slc, PAD,
-                                          2, 4, H, W, -2)
-            pU = JK.mc_gather_from_phases(phU, mvxc, mvyc, slc,
-                                          PAD_C, 3, 2, Hc, Wc, -1)
-            pV = JK.mc_gather_from_phases(phV, mvxc, mvyc, slc,
-                                          PAD_C, 3, 2, Hc, Wc, -1)
-            return pY, pU, pV
+            """Banded in-window MC (bit-exact with the round-4 phase
+            conv + gather pair; ops/banded_mc.py) - returns block-form
+            [N, b, b] predictions."""
+            m2 = lambda a: a.reshape(HB, WB)
+            sl = m2(slotk)
+            pY = mc_pred_banded(refY, sl, m2(mvyk), m2(mvxk), lutY,
+                                PAD, 2, s, -2, M_LUMA)
+            pU = mc_pred_banded(refU, sl, m2(mvyk), m2(mvxk), lutC,
+                                PAD_C, 3, sc, -1, M_CHROMA)
+            pV = mc_pred_banded(refV, sl, m2(mvyk), m2(mvxk), lutC,
+                                PAD_C, 3, sc, -1, M_CHROMA)
+            return (pY.reshape(-1, s, s), pU.reshape(-1, sc, sc),
+                    pV.reshape(-1, sc, sc))
 
         def one(mvy0k, mvx0k, slot0k, mvy1k, mvx1k, slot1k, bik):
             # stream-domain MVs fold toward future references exactly
@@ -166,17 +162,14 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
                 pY1, pU1, pV1 = gather3(
                     jnp.where(sg1, -mvy1k, mvy1k),
                     jnp.where(sg1, -mvx1k, mvx1k), slot1k)
-                bY = _expand_blocks_to_cells(
-                    bik.astype(jnp.int32), HB, WB, s, H, W) != 0
-                bC = _expand_blocks_to_cells(
-                    bik.astype(jnp.int32), HB, WB, sc, Hc, Wc) != 0
+                bY = bflag[:, None, None]
                 predY = jnp.where(bY, (predY + pY1) >> 1, predY)
-                predU = jnp.where(bC, (predU + pU1) >> 1, predU)
-                predV = jnp.where(bC, (predV + pV1) >> 1, predV)
+                predU = jnp.where(bY, (predU + pU1) >> 1, predU)
+                predV = jnp.where(bY, (predV + pV1) >> 1, predV)
 
             def plane_trial(org, pred, b, qp, zz, fast, chroma):
                 ob = _blocks_of(org.astype(jnp.int32), b, HB, WB)
-                pb = _blocks_of(pred, b, HB, WB)
+                pb = pred
                 resid = ob - pb
                 coeff = JK.fwd_transform_batch(resid, b, fast)
                 q, cbp = JK.quantize_fwd_batch(coeff, qp, b, False, zz,
@@ -209,7 +202,7 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
                                    chroma):
                     b2 = b // 2
                     ob = _blocks_of(org.astype(jnp.int32), b, HB, WB)
-                    pb = _blocks_of(pred, b, HB, WB)
+                    pb = pred
                     # quadrant-major [4N, b2, b2], k = 2*qi + qj
                     oq = ob.reshape(-1, 2, b2, 2, b2) \
                         .transpose(0, 1, 3, 2, 4).reshape(-1, b2, b2)
@@ -255,24 +248,21 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
 @lru_cache(maxsize=None)
 def _measure_fn(H: int, W: int, R: int, has_bi: bool, bslot0: int,
                 bslot1: int, seq_bipred: int):
-    """ONE jitted measurement program: all-phase interpolation planes,
-    whole-frame ME, stream-domain sign folding and per-size motion
-    variant construction (ME MV, left / up-right neighbour MVs, zero
-    MV per ref, bipred pairs) - everything between the org/ref upload
-    and the per-size trial coding, with no host round trip.
+    """ONE jitted measurement program: whole-frame ME, stream-domain
+    sign folding and per-size motion variant construction (ME MV,
+    left / up-right neighbour MVs, zero MV per ref, bipred pairs) -
+    everything between the org/ref upload and the per-size trial
+    coding, with no host round trip.
 
-    Replaces the separate phases -> ME(fetch) -> host variant build ->
-    trials pipeline (round-3 verdict: the per-stage round trips were
-    the 400x encode gap's first factor)."""
-    lutY = JK.build_luma_mc_lut(seq_bipred)
-    lutC = JK.build_chroma_mc_lut()
+    Round 5: the all-phase interpolation planes are gone - ME's
+    sub-pel stage and every MC consumer interpolate in-window from the
+    reference planes (ops/banded_mc.py), killing both the ~85 MB/ref
+    conv and the per-pixel phase gathers the xplane profile showed
+    dominating the frame."""
     me_body = DM.me_frame_body(H, W, R, seq_bipred)
 
     def f(orgY, refY, refU, refV, sign, sign_bi, lam_me):
-        phY = JK.mc_phase_conv(refY, lutY, PAD)
-        phU = JK.mc_phase_conv(refU, lutC, PAD_C)
-        phV = JK.mc_phase_conv(refV, lutC, PAD_C)
-        me = me_body(orgY, refY, phY, lam_me)
+        me = me_body(orgY, refY, None, lam_me)
         variants = {}
         for s in SIZES:
             HB, WB = H // s, W // s
@@ -340,7 +330,7 @@ def _measure_fn(H: int, W: int, R: int, has_bi: bool, bslot0: int,
                 'slot': jnp.stack(var_s), 'mvy1': jnp.stack(var_y1),
                 'mvx1': jnp.stack(var_x1), 'slot1': jnp.stack(var_s1),
                 'bi': jnp.stack(var_bi)}
-        return phY, phU, phV, variants
+        return variants
 
     return jax.jit(f)
 
@@ -358,10 +348,18 @@ def _pack_out_fn(H: int, W: int):
 
 
 @lru_cache(maxsize=None)
-def _final_mc_fn(H: int, W: int, has_bi: bool = False):
+def _final_mc_fn(H: int, W: int, has_bi: bool = False,
+                 seq_bipred: int = 0):
     """Jitted final reconstruction stage 1: whole-frame MC with the
     decided per-cell MV field + dense per-size residual planes
     (exactly the decoder's math, dec/reconstruct_jax.py).
+
+    Round 5: the MC half runs per LEAF-SIZE class through the banded
+    in-window interpolator (ops/banded_mc.py) - the decided MV field
+    is block-constant within each leaf, so each size's prediction is
+    one banded pass and the four size classes combine under the
+    per-cell leaf-size mask. This replaced the per-pixel whole-frame
+    phase gathers (~17-35 ms each on the xplane profile).
 
     Every block position of every size is dequant+IDCT'd - blocks not
     chosen as coded leaves at that size carry zeroed coefficients and
@@ -371,6 +369,8 @@ def _final_mc_fn(H: int, W: int, has_bi: bool = False):
     the residual placement is a pure reshape instead of a scatter."""
     Hc, Wc = H // 2, W // 2
     dq = jnp.asarray(np.asarray(GDEQUANT_TABLE, np.int32))
+    lutY = JK.build_luma_mc_lut(seq_bipred)
+    lutC = JK.build_chroma_mc_lut()
 
     def dense_add(r, q, cb, s, sy, fac, HH, WW):
         """Add the [N, sy, sy] coeff blocks' residuals (masked by cb)
@@ -392,26 +392,57 @@ def _final_mc_fn(H: int, W: int, has_bi: bool = False):
             .reshape(HB * s, WB * s)
         return r.at[:HB * s, :WB * s].add(d)
 
-    def f(phY, phU, phV, mvxc, mvyc, slc, mvx1c, mvy1c, sl1c, bic,
-          trials, qpY, qpC):
-        pY = JK.mc_gather_from_phases(phY, mvxc, mvyc, slc, PAD, 2, 4,
-                                      H, W, -2)
-        pU = JK.mc_gather_from_phases(phU, mvxc, mvyc, slc, PAD_C, 3, 2,
-                                      Hc, Wc, -1)
-        pV = JK.mc_gather_from_phases(phV, mvxc, mvyc, slc, PAD_C, 3, 2,
-                                      Hc, Wc, -1)
-        if has_bi:
-            pY1 = JK.mc_gather_from_phases(phY, mvx1c, mvy1c, sl1c, PAD,
-                                           2, 4, H, W, -2)
-            pU1 = JK.mc_gather_from_phases(phU, mvx1c, mvy1c, sl1c,
-                                           PAD_C, 3, 2, Hc, Wc, -1)
-            pV1 = JK.mc_gather_from_phases(phV, mvx1c, mvy1c, sl1c,
-                                           PAD_C, 3, 2, Hc, Wc, -1)
-            bY = jnp.repeat(jnp.repeat(bic, 4, 0), 4, 1) != 0
-            bC = jnp.repeat(jnp.repeat(bic, 2, 0), 2, 1) != 0
-            pY = jnp.where(bY, (pY + pY1) >> 1, pY)
-            pU = jnp.where(bC, (pU + pU1) >> 1, pU)
-            pV = jnp.where(bC, (pV + pV1) >> 1, pV)
+    def f(refY, refU, refV, size_cells, mvxc, mvyc, slc, mvx1c, mvy1c,
+          sl1c, bic, trials, qpY, qpC):
+        pY = jnp.zeros((H, W), jnp.int32)
+        pU = jnp.zeros((Hc, Wc), jnp.int32)
+        pV = jnp.zeros((Hc, Wc), jnp.int32)
+        for s in SIZES:
+            HB, WB = H // s, W // s
+            if HB == 0 or WB == 0:
+                continue
+            cs = s // 4
+            sc_ = s // 2
+
+            def sub(a):
+                return a[::cs, ::cs][:HB, :WB]
+
+            mb = sub(size_cells) == s
+            my, mx, sl = sub(mvyc), sub(mvxc), sub(slc)
+            bY = mc_pred_banded(refY, sl, my, mx, lutY, PAD, 2, s, -2,
+                                M_LUMA)
+            bU = mc_pred_banded(refU, sl, my, mx, lutC, PAD_C, 3, sc_,
+                                -1, M_CHROMA)
+            bV = mc_pred_banded(refV, sl, my, mx, lutC, PAD_C, 3, sc_,
+                                -1, M_CHROMA)
+            if has_bi:
+                bi_b = sub(bic) != 0
+                my1, mx1, sl1 = sub(mvy1c), sub(mvx1c), sub(sl1c)
+                bY1 = mc_pred_banded(refY, sl1, my1, mx1, lutY, PAD, 2,
+                                     s, -2, M_LUMA)
+                bU1 = mc_pred_banded(refU, sl1, my1, mx1, lutC, PAD_C,
+                                     3, sc_, -1, M_CHROMA)
+                bV1 = mc_pred_banded(refV, sl1, my1, mx1, lutC, PAD_C,
+                                     3, sc_, -1, M_CHROMA)
+                bm = bi_b[:, :, None, None]
+                bY = jnp.where(bm, (bY + bY1) >> 1, bY)
+                bU = jnp.where(bm, (bU + bU1) >> 1, bU)
+                bV = jnp.where(bm, (bV + bV1) >> 1, bV)
+
+            def plane_of(blocks, b):
+                return blocks.transpose(0, 2, 1, 3) \
+                    .reshape(HB * b, WB * b)
+
+            mbY = jnp.repeat(jnp.repeat(mb, s, 0), s, 1)
+            mbC = jnp.repeat(jnp.repeat(mb, sc_, 0), sc_, 1)
+            pY = pY.at[:HB * s, :WB * s].set(
+                jnp.where(mbY, plane_of(bY, s), pY[:HB * s, :WB * s]))
+            pU = pU.at[:HB * sc_, :WB * sc_].set(
+                jnp.where(mbC, plane_of(bU, sc_),
+                          pU[:HB * sc_, :WB * sc_]))
+            pV = pV.at[:HB * sc_, :WB * sc_].set(
+                jnp.where(mbC, plane_of(bV, sc_),
+                          pV[:HB * sc_, :WB * sc_]))
         facY = jnp.left_shift(dq[qpY % 6], qpY // 6)
         facC = jnp.left_shift(dq[qpC % 6], qpC // 6)
         rY = jnp.zeros((H, W), jnp.int32)
@@ -602,8 +633,9 @@ def _intra_scan_arrays(intra_leaves, H, W):
     return arr, arrc, npad
 
 
-def _dispatch_final(H, W, trials_dev, phY, phU, phV, fin, org_y_d,
-                    org_u_d, org_v_d, qpY, qpC, speed):
+def _dispatch_final(H, W, trials_dev, refY_d, refU_d, refV_d, fin,
+                    org_y_d, org_u_d, org_v_d, qpY, qpC, speed,
+                    seq_bipred):
     """Dispatch the final reconstruction + (optional) exact intra scan
     from decided host fields - pure device work, NO sync. `fin` holds
     per-size chosen-variant indices/masks, the decided per-cell MV
@@ -628,8 +660,10 @@ def _dispatch_final(H, W, trials_dev, phY, phU, phV, fin, org_y_d,
                             'cbp_tb_v': t['cbp_tb_v'],
                             'mtb': jnp.asarray(fin['mtb'][s])})
     (mvxc_v, mvyc_v, slc, mvx1c_v, mvy1c_v, sl1c, bic) = fin['cells']
-    y_d, u_d, v_d = _final_mc_fn(H, W, fin['has_bi_cells'])(
-        phY, phU, phV, jnp.asarray(mvxc_v), jnp.asarray(mvyc_v),
+    y_d, u_d, v_d = _final_mc_fn(H, W, fin['has_bi_cells'],
+                                 seq_bipred)(
+        refY_d, refU_d, refV_d, jnp.asarray(fin['size_cells']),
+        jnp.asarray(mvxc_v), jnp.asarray(mvyc_v),
         jnp.asarray(slc), jnp.asarray(mvx1c_v),
         jnp.asarray(mvy1c_v), jnp.asarray(sl1c), jnp.asarray(bic),
         tsel, jnp.int32(qpY), jnp.int32(qpC))
@@ -1316,7 +1350,7 @@ def measure_inter_frame_device(enc, org_y, org_u, org_v):
     sign_d = jnp.asarray(sign)
     sign_bi_d = jnp.asarray(sign_bi)
     with _t.stage('measure_dispatch'):
-        phY, phU, phV, variants = _measure_fn(
+        variants = _measure_fn(
             H, W, R, has_bi, bslot0, bslot1, int(p.enable_bipred))(
             org_y_d, refY_d, refU_d, refV_d, sign_d, sign_bi_d,
             jnp.float32(lam_me))
@@ -1330,8 +1364,9 @@ def measure_inter_frame_device(enc, org_y, org_u, org_v):
             tb_s = p.enable_tb_split == 1 and s > 8
             fastY2 = s == 64 or fast32
             trials_dev[s] = _trial_fn(H, W, s, fastY, fast32, has_bi,
-                                      tb_s, fastY2)(
-                org_y_d, org_u_d, org_v_d, phY, phU, phV,
+                                      tb_s, fastY2,
+                                      int(p.enable_bipred))(
+                org_y_d, org_u_d, org_v_d, refY_d, refU_d, refV_d,
                 v['mvy'], v['mvx'], v['slot'], v['mvy1'], v['mvx1'],
                 v['slot1'], v['bi'], jnp.int32(qpY), jnp.int32(qpC),
                 sign_d, sign_bi_d)
@@ -1341,10 +1376,12 @@ def measure_inter_frame_device(enc, org_y, org_u, org_v):
 
     return dict(org_y=org_y, org_u=org_u, org_v=org_v,
                 org_y_d=org_y_d, org_u_d=org_u_d, org_v_d=org_v_d,
-                phY=phY, phU=phU, phV=phV, variants=variants,
+                refY_d=refY_d, refU_d=refU_d, refV_d=refV_d,
+                variants=variants,
                 trials_dev=trials_dev, intra_dev=intra_dev,
                 sign=sign, sign_bi=sign_bi, qpY=qpY, qpC=qpC, lam=lam,
-                lam_me=lam_me, K_uni=K_uni, rec=rec)
+                lam_me=lam_me, K_uni=K_uni, rec=rec,
+                seq_bipred=int(p.enable_bipred))
 
 
 def finish_inter_frame_device(enc, w, ctx):
@@ -1358,7 +1395,8 @@ def finish_inter_frame_device(enc, w, ctx):
     (org_y, org_u, org_v) = (ctx['org_y'], ctx['org_u'], ctx['org_v'])
     (org_y_d, org_u_d, org_v_d) = (ctx['org_y_d'], ctx['org_u_d'],
                                    ctx['org_v_d'])
-    phY, phU, phV = ctx['phY'], ctx['phU'], ctx['phV']
+    refY_d, refU_d, refV_d = (ctx['refY_d'], ctx['refU_d'],
+                              ctx['refV_d'])
     variants, trials_dev = ctx['variants'], ctx['trials_dev']
     intra_dev = ctx['intra_dev']
     sign, sign_bi = ctx['sign'], ctx['sign_bi']
@@ -1402,6 +1440,7 @@ def finish_inter_frame_device(enc, w, ctx):
     mvy1c = np.zeros((H4, W4), np.int32)
     sl1c = np.zeros((H4, W4), np.int32)
     bic = np.zeros((H4, W4), np.int32)
+    size_cells = np.zeros((H4, W4), np.int32)
     coded = {s: [] for s in SIZES}
     intra_leaves = []
     for lf in leaves:
@@ -1409,6 +1448,7 @@ def finish_inter_frame_device(enc, w, ctx):
         if lf.mode == MODE_INTRA:
             intra_leaves.append(lf)
             continue
+        size_cells[cy:cy + cs, cx:cx + cs] = lf.size
         mvxc[cy:cy + cs, cx:cx + cs] = lf.mv[0]
         mvyc[cy:cy + cs, cx:cx + cs] = lf.mv[1]
         slc[cy:cy + cs, cx:cx + cs] = lf.ref
@@ -1453,14 +1493,16 @@ def finish_inter_frame_device(enc, w, ctx):
 
     fin = {'ksel': ksel, 'msk': msk, 'mtb': mtb,
            'cells': (mvxc_v, mvyc_v, slc, mvx1c_v, mvy1c_v, sl1c, bic),
+           'size_cells': size_cells,
            'has_bi_cells': bool(bic.any()), 'intra': intra_arr}
     if rec is not None:
         rec['fin'] = fin
 
     with _t.stage('final_mc'):
         y_d, u_d, v_d, intra_q_dev = _dispatch_final(
-            H, W, trials_dev, phY, phU, phV, fin, org_y_d, org_u_d,
-            org_v_d, qpY, qpC, p.encoder_speed)
+            H, W, trials_dev, refY_d, refU_d, refV_d, fin, org_y_d,
+            org_u_d, org_v_d, qpY, qpC, p.encoder_speed,
+            ctx['seq_bipred'])
 
     # --- chosen-coefficient gather (async index ops; fetched together
     # with the intra banks in ONE device_get below) ---
@@ -1743,7 +1785,7 @@ def replay_device_frame(rec, refstate):
     fast32 = speed > 1
     fast64 = speed > 0
 
-    phY, phU, phV, variants = _measure_fn(
+    variants = _measure_fn(
         H, W, R, rec['has_bi'], rec['bslot0'], rec['bslot1'],
         rec['seq_bipred'])(
         org_y_d, refY, refU, refV, sign_d, sign_bi_d,
@@ -1755,8 +1797,9 @@ def replay_device_frame(rec, refstate):
         tb_s = rec['tb_split'] == 1 and s > 8
         fastY2 = s == 64 or fast32
         trials_dev[s] = _trial_fn(H, W, s, fastY, fast32,
-                                  rec['has_bi'], tb_s, fastY2)(
-            org_y_d, org_u_d, org_v_d, phY, phU, phV,
+                                  rec['has_bi'], tb_s, fastY2,
+                                  rec['seq_bipred'])(
+            org_y_d, org_u_d, org_v_d, refY, refU, refV,
             v['mvy'], v['mvx'], v['slot'], v['mvy1'], v['mvx1'],
             v['slot1'], v['bi'], jnp.int32(qpY), jnp.int32(qpC),
             sign_d, sign_bi_d)
@@ -1766,8 +1809,8 @@ def replay_device_frame(rec, refstate):
         fast32, rec['nmodes'], intra_quant=False)
 
     y_d, u_d, v_d, _ = _dispatch_final(
-        H, W, trials_dev, phY, phU, phV, rec['fin'], org_y_d, org_u_d,
-        org_v_d, qpY, qpC, speed)
+        H, W, trials_dev, refY, refU, refV, rec['fin'], org_y_d,
+        org_u_d, org_v_d, qpY, qpC, speed, rec['seq_bipred'])
 
     from ..codec.constants import BETA_TABLE, TC_TABLE
     packed, _, refYp, refUp, refVp = _filter_fn(

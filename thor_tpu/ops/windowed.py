@@ -71,18 +71,12 @@ def _roll_axis(B, shift, axis, w: int, maxshift: int):
     return B
 
 
-def banded_windows(plane, dy, dx, base_y: int, base_x: int, bstep: int,
-                   w: int, M: int):
-    """Per-block [w, w] windows of ``plane`` at origins
-    ``(base_y + t*bstep + dy[t,k], base_x + k*bstep + dx[t,k])``.
-
-    plane: [Hp, Wp] (any integer dtype; u8 recommended).
-    dy, dx: [HB, WB] int32 origin offsets, ``|dy|, |dx| <= M``.
-    bstep: block grid stride; w: window side; M: static offset bound.
-
-    Returns [HB, WB, w, w] windows, same dtype as ``plane``.
-    """
-    HB, WB = dy.shape
+def _banded_segments(plane, HB: int, WB: int, base_y: int, base_x: int,
+                     bstep: int, w: int, M: int):
+    """Stage 1 of the banded gather: per-band strips + block-axis
+    im2col. Returns [HB, Hs, WB, wX] with
+    B[t, y, k, c] = plane[base_y + t*bstep - M + y,
+                          base_x + k*bstep - M + c]."""
     Hp, Wp = plane.shape
     Hs = 2 * M + w
     wX = 2 * M + w
@@ -95,15 +89,45 @@ def banded_windows(plane, dy, dx, base_y: int, base_x: int, bstep: int,
         plane = jnp.pad(plane, ((0, pad_b), (0, pad_r)))
 
     S = jnp.stack([plane[int(a):int(a) + Hs] for a in anchors])
-
-    # im2col at block stride: B[t, y, k, c] = S[t, y, cbase + k*bstep + c]
     nseg = -(-wX // bstep)
     pieces = [S[:, :, cbase + j * bstep:cbase + (j + WB) * bstep]
               .reshape(HB, Hs, WB, bstep) for j in range(nseg)]
-    B = jnp.concatenate(pieces, axis=3)[:, :, :, :wX]
+    return jnp.concatenate(pieces, axis=3)[:, :, :, :wX]
 
-    # per-block column shift (constant along rows AND segment lanes)
+
+def _banded_apply(B, dy, dx, w: int, M: int):
+    """Stage 2: per-block shifts + window slice -> [HB, WB, w, w]."""
     B = _roll_axis(B, dx + M, 3, w, 2 * M)
-    # per-block row shift
     B = _roll_axis(B, dy + M, 1, w, 2 * M)
     return B.transpose(0, 2, 1, 3)
+
+
+def banded_windows(plane, dy, dx, base_y: int, base_x: int, bstep: int,
+                   w: int, M: int):
+    """Per-block [w, w] windows of ``plane`` at origins
+    ``(base_y + t*bstep + dy[t,k], base_x + k*bstep + dx[t,k])``.
+
+    plane: [Hp, Wp] (any integer dtype; u8 recommended).
+    dy, dx: [HB, WB] int32 origin offsets, ``|dy|, |dx| <= M``.
+    bstep: block grid stride; w: window side; M: static offset bound.
+
+    Returns [HB, WB, w, w] windows, same dtype as ``plane``.
+    """
+    HB, WB = dy.shape
+    B = _banded_segments(plane, HB, WB, base_y, base_x, bstep, w, M)
+    return _banded_apply(B, dy, dx, w, M)
+
+
+def banded_windows_stack(planes, slot, dy, dx, base_y: int, base_x: int,
+                         bstep: int, w: int, M: int):
+    """banded_windows over a [R, Hp, Wp] plane stack with a per-block
+    plane choice ``slot`` [HB, WB] - the per-ref segment tensors are
+    merged with selects before the (shared) shift passes."""
+    R = planes.shape[0]
+    HB, WB = dy.shape
+    B = _banded_segments(planes[0], HB, WB, base_y, base_x, bstep, w, M)
+    for r in range(1, R):
+        Br = _banded_segments(planes[r], HB, WB, base_y, base_x, bstep,
+                              w, M)
+        B = jnp.where((slot == r)[:, None, :, None], Br, B)
+    return _banded_apply(B, dy, dx, w, M)
