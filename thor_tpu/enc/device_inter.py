@@ -336,6 +336,46 @@ def _measure_fn(H: int, W: int, R: int, has_bi: bool, bslot0: int,
 
 
 @lru_cache(maxsize=None)
+def _measure_all_fn(H: int, W: int, R: int, has_bi: bool, bslot0: int,
+                    bslot1: int, seq_bipred: int, tb_split: int,
+                    speed: int, nmodes: int):
+    """ONE jitted program for the whole measurement half: ME +
+    variants + all four per-size trials + the intra mode search.
+
+    Round-4 dispatched ~15 separate jitted calls per frame; through
+    the tunnel each enqueue pays real latency, and the xplane gap
+    between device time (~0.39 s) and wall (~0.62 s) was mostly this
+    dispatch overhead. One program also lets XLA share subexpressions
+    (org block tiling, ref slicing) across stages."""
+    from .device_intra import search_intra_frame_device
+    fast32 = speed > 1
+    fast64 = speed > 0
+    mf = _measure_fn(H, W, R, has_bi, bslot0, bslot1, seq_bipred)
+
+    def f(org_y_d, org_u_d, org_v_d, refY_d, refU_d, refV_d, sign_d,
+          sign_bi_d, lam_me, qpY, qpC, lam):
+        variants = mf(org_y_d, refY_d, refU_d, refV_d, sign_d,
+                      sign_bi_d, lam_me)
+        trials_dev = {}
+        for s in SIZES:
+            v = variants[s]
+            fastY = (s == 64 and fast64) or fast32
+            tb_s = tb_split == 1 and s > 8
+            fastY2 = s == 64 or fast32
+            trials_dev[s] = _trial_fn(H, W, s, fastY, fast32, has_bi,
+                                      tb_s, fastY2, seq_bipred)(
+                org_y_d, org_u_d, org_v_d, refY_d, refU_d, refV_d,
+                v['mvy'], v['mvx'], v['slot'], v['mvy1'], v['mvx1'],
+                v['slot1'], v['bi'], qpY, qpC, sign_d, sign_bi_d)
+        intra_dev = search_intra_frame_device(
+            org_y_d, org_u_d, org_v_d, qpY, qpC, lam, W, H, fast32,
+            nmodes, intra_quant=False)
+        return variants, trials_dev, intra_dev
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
 def _pack_out_fn(H: int, W: int):
     """[3H/2, W] uint8 packed recon (Y on top, U|V below) for a single
     device->host fetch."""
@@ -394,6 +434,14 @@ def _final_mc_fn(H: int, W: int, has_bi: bool = False,
 
     def f(refY, refU, refV, size_cells, mvxc, mvyc, slc, mvx1c, mvy1c,
           sl1c, bic, trials, qpY, qpC):
+        mvxc = mvxc.astype(jnp.int32)
+        mvyc = mvyc.astype(jnp.int32)
+        slc = slc.astype(jnp.int32)
+        mvx1c = mvx1c.astype(jnp.int32)
+        mvy1c = mvy1c.astype(jnp.int32)
+        sl1c = sl1c.astype(jnp.int32)
+        bic = bic.astype(jnp.int32)
+        size_cells = size_cells.astype(jnp.int32)
         pY = jnp.zeros((H, W), jnp.int32)
         pU = jnp.zeros((Hc, Wc), jnp.int32)
         pV = jnp.zeros((Hc, Wc), jnp.int32)
@@ -650,7 +698,7 @@ def _dispatch_final(H, W, trials_dev, refY_d, refU_d, refV_d, fin,
         tsel[s] = {'qy': t['qy'], 'qu': t['qu'], 'qv': t['qv'],
                    'cbp_y': t['cbp_y'], 'cbp_u': t['cbp_u'],
                    'cbp_v': t['cbp_v'],
-                   'k': jnp.asarray(fin['ksel'][s]),
+                   'k': jnp.asarray(fin['ksel'][s]).astype(jnp.int32),
                    'm': jnp.asarray(fin['msk'][s])}
         if 'qy_tb' in t:
             tsel[s].update({'qy_tb': t['qy_tb'], 'qu_tb': t['qu_tb'],
@@ -1225,6 +1273,189 @@ def _emit_native(enc, w, leaves, meas, coeff_host, intra_q):
                       enc.deblock_data)
 
 
+
+# ---------------------------------------------------------------------------
+# Second-chance candidate measurement (round-5 RD fix)
+# ---------------------------------------------------------------------------
+
+def _collect_missing(enc, leaves, meas):
+    """Replay the decided leaves in coding order over a fresh side-info
+    map and return, per size, {block_idx: [(mvx, mvy, ref), ...]} of
+    skip/merge candidates that no measured uni variant matches.
+
+    The skip candidates are DECIDED MVs propagated through skip chains
+    (common/inter_prediction.c:331-348); the pre-measured pool (own/
+    left/up-right ME + zero) misses chain values that originated
+    elsewhere, which measured as the dominant high-QP bit gap in
+    RD_r04 (+17-21% bits at qp37: blocks coded INTER where the mirror
+    SKIPs). A second measurement round prices exactly the candidates
+    the first walk wanted."""
+    from ..codec.blockdata import DeblockData
+    W, H = enc.width, enc.height
+    dd = DeblockData(W, H)
+    missing = {s: {} for s in SIZES}
+    for lf in leaves:
+        s = lf.size
+        m = meas[s]
+        K_uni = m['K_uni']
+        idx = lf.idx
+        for c in get_mv_skip(lf.ypos, lf.xpos, W, H, s, dd):
+            if c.bipred_flag == 2:
+                continue
+            mvx = np.asarray(m['mvx'][:K_uni, idx])
+            mvy = np.asarray(m['mvy'][:K_uni, idx])
+            slt = np.asarray(m['slot'][:K_uni, idx])
+            if ((mvx == c.mv0x) & (mvy == c.mv0y)
+                    & (slt == c.ref_idx0)).any():
+                continue
+            lst = missing[s].setdefault(idx, [])
+            if (c.mv0x, c.mv0y, c.ref_idx0) not in lst:
+                lst.append((c.mv0x, c.mv0y, c.ref_idx0))
+        # store exactly like the decision walk does (store_leaf)
+        if lf.mode in (MODE_SKIP, MODE_MERGE, MODE_INTER, MODE_BIPRED):
+            cbp = (0, 0, 0)
+            if lf.use_cbp:
+                if lf.tb:
+                    cbp = (int(m['cbp_tb_y'][lf.k, idx] != 0),
+                           int(m['cbp_tb_u'][lf.k, idx] != 0),
+                           int(m['cbp_tb_v'][lf.k, idx] != 0))
+                else:
+                    cbp = (int(m['cbp_y'][lf.k, idx]),
+                           int(m['cbp_u'][lf.k, idx]),
+                           int(m['cbp_v'][lf.k, idx]))
+            if lf.mode in (MODE_SKIP, MODE_MERGE):
+                dd.store_block(lf.ypos, lf.xpos, s, s, s, lf.mode, cbp,
+                               0, 0, (lf.mv,) * 4, (lf.mv1,) * 4,
+                               lf.ref, lf.ref1, lf.dir)
+            elif lf.mode == MODE_INTER:
+                dd.store_block(lf.ypos, lf.xpos, s, s, s, MODE_INTER,
+                               cbp, lf.tb, 0, (lf.mv,) * 4,
+                               ((0, 0),) * 4, lf.ref, 0, 0)
+            else:
+                dd.store_block(lf.ypos, lf.xpos, s, s, s, MODE_BIPRED,
+                               cbp, 0, 0, (lf.mv,) * 4, (lf.mv1,) * 4,
+                               lf.ref, lf.ref1, 2)
+        else:
+            mv4 = ((0, 0),) * 4
+            dd.store_block(lf.ypos, lf.xpos, s, s, s, MODE_INTRA,
+                           (1, 1, 1), 0, 0, mv4, mv4, 0, 0, -1)
+    return missing
+
+
+K_EXTRA = 4
+
+
+@lru_cache(maxsize=None)
+def _extra_trial_fn(H: int, W: int, tb_split: int, speed: int,
+                    seq_bipred: int):
+    """One jitted program measuring K_EXTRA extra uni variants for all
+    four sizes (the second-chance round)."""
+    fast32 = speed > 1
+    fast64 = speed > 0
+
+    def f(org_y, org_u, org_v, refY, refU, refV, evars, qpY, qpC,
+          sign, sign_bi):
+        out = {}
+        for s in SIZES:
+            ey, ex, es = evars[s]
+            fastY = (s == 64 and fast64) or fast32
+            tb_s = tb_split == 1 and s > 8
+            fastY2 = s == 64 or fast32
+            z = jnp.zeros_like(ey)
+            out[s] = _trial_fn(H, W, s, fastY, fast32, False, tb_s,
+                               fastY2, seq_bipred)(
+                org_y, org_u, org_v, refY, refU, refV,
+                ey, ex, es, z, z, z, z, qpY, qpC, sign, sign_bi)
+        return out
+
+    return jax.jit(f)
+
+
+def _second_chance(enc, ctx, meas, trials_dev, leaves):
+    """Measure the first walk's unmatched skip candidates and merge
+    them into the uni variant block [uni | extra | bi] of both the
+    host cost maps and the device coefficient banks. Returns the
+    per-size extra variant arrays (for the replay record) or None."""
+    missing = _collect_missing(enc, meas=meas, leaves=leaves)
+    if not any(missing[s] for s in SIZES):
+        return None
+    W, H = enc.width, enc.height
+    evars_np = {}
+    for s in SIZES:
+        N = (H // s) * (W // s)
+        ey = np.zeros((K_EXTRA, N), np.int32)
+        ex = np.zeros((K_EXTRA, N), np.int32)
+        es = np.zeros((K_EXTRA, N), np.int32)
+        for idx, lst in missing[s].items():
+            for j, (mx, my, r0) in enumerate(lst[:K_EXTRA]):
+                ex[j, idx], ey[j, idx], es[j, idx] = mx, my, r0
+        evars_np[s] = (ey, ex, es)
+    _apply_second_chance(enc, ctx, meas, trials_dev, evars_np)
+    return evars_np
+
+
+def _extra_banks(H, W, tb_split, speed, seq_bipred, org_y_d, org_u_d,
+                 org_v_d, refY_d, refU_d, refV_d, evars_np, qpY, qpC,
+                 sign, sign_bi):
+    ev_dev = {s: tuple(jnp.asarray(a) for a in evars_np[s])
+              for s in SIZES}
+    return _extra_trial_fn(H, W, tb_split, speed, seq_bipred)(
+        org_y_d, org_u_d, org_v_d, refY_d, refU_d, refV_d, ev_dev,
+        jnp.int32(qpY), jnp.int32(qpC), jnp.asarray(sign),
+        jnp.asarray(sign_bi))
+
+
+def _merge_banks(trials_dev, t2, K_uni):
+    """Splice the extra banks into [uni | extra | bi] order on device
+    (the decision walk's merged k indexes address these banks)."""
+    for s in SIZES:
+        a = trials_dev[s]
+        b = t2[s]
+        trials_dev[s] = {
+            k: jnp.concatenate([a[k][:K_uni], b[k], a[k][K_uni:]],
+                               axis=0) for k in a}
+
+
+def _apply_second_chance(enc, ctx, meas, trials_dev, evars_np):
+    """Dispatch the extra trials, fetch their maps, and splice them
+    into both the host cost maps and the device banks."""
+    p = enc.params
+    t2 = _extra_banks(enc.height, enc.width, int(p.enable_tb_split),
+                      int(p.encoder_speed), ctx['seq_bipred'],
+                      ctx['org_y_d'], ctx['org_u_d'], ctx['org_v_d'],
+                      ctx['refY_d'], ctx['refU_d'], ctx['refV_d'],
+                      evars_np, ctx['qpY'], ctx['qpC'], ctx['sign'],
+                      ctx['sign_bi'])
+    fetch_keys = ('ssd_coded', 'ssd_pred', 'bits', 'cbp_y', 'cbp_u',
+                  'cbp_v', 'ssd_tb', 'bits_tb', 'cbp_tb_y',
+                  'cbp_tb_u', 'cbp_tb_v')
+    e_host = jax.device_get({s: {k: t2[s][k] for k in fetch_keys
+                                 if k in t2[s]} for s in SIZES})
+    K_uni = meas[SIZES[0]]['K_uni']
+    for s in SIZES:
+        m = meas[s]
+        ey, ex, es = evars_np[s]
+        z = np.zeros_like(ey)
+
+        def ins(a, b):
+            a = np.asarray(a)
+            return np.concatenate([a[:K_uni], b.astype(a.dtype),
+                                   a[K_uni:]], axis=0)
+
+        m['mvy'] = ins(m['mvy'], ey)
+        m['mvx'] = ins(m['mvx'], ex)
+        m['slot'] = ins(m['slot'], es)
+        m['mvy1'] = ins(m['mvy1'], z)
+        m['mvx1'] = ins(m['mvx1'], z)
+        m['slot1'] = ins(m['slot1'], z)
+        m['bi'] = ins(m['bi'], z)
+        for k in fetch_keys:
+            if k in m:
+                m[k] = ins(m[k], np.asarray(e_host[s][k]))
+        m['K_uni'] = K_uni + K_EXTRA
+    _merge_banks(trials_dev, t2, K_uni)
+
+
 # ---------------------------------------------------------------------------
 # Frame driver
 # ---------------------------------------------------------------------------
@@ -1350,29 +1581,13 @@ def measure_inter_frame_device(enc, org_y, org_u, org_v):
     sign_d = jnp.asarray(sign)
     sign_bi_d = jnp.asarray(sign_bi)
     with _t.stage('measure_dispatch'):
-        variants = _measure_fn(
-            H, W, R, has_bi, bslot0, bslot1, int(p.enable_bipred))(
-            org_y_d, refY_d, refU_d, refV_d, sign_d, sign_bi_d,
-            jnp.float32(lam_me))
-        trials_dev = {}
-        for s in SIZES:
-            v = variants[s]
-            fastY = (s == 64 and fast64) or fast32
-            # tb trials for sizes > 8 on tb-enabled configs (the s == 8
-            # tb_split tool - 4x4 luma quadrants - is deliberately not
-            # in the device toolset; its RD contribution is marginal)
-            tb_s = p.enable_tb_split == 1 and s > 8
-            fastY2 = s == 64 or fast32
-            trials_dev[s] = _trial_fn(H, W, s, fastY, fast32, has_bi,
-                                      tb_s, fastY2,
-                                      int(p.enable_bipred))(
-                org_y_d, org_u_d, org_v_d, refY_d, refU_d, refV_d,
-                v['mvy'], v['mvx'], v['slot'], v['mvy1'], v['mvx1'],
-                v['slot1'], v['bi'], jnp.int32(qpY), jnp.int32(qpC),
-                sign_d, sign_bi_d)
-        intra_dev = search_intra_frame_device(
-            org_y_d, org_u_d, org_v_d, qpY, qpC, lam, W, H,
-            p.encoder_speed > 1, enc.num_intra_modes, intra_quant=False)
+        variants, trials_dev, intra_dev = _measure_all_fn(
+            H, W, R, has_bi, bslot0, bslot1, int(p.enable_bipred),
+            int(p.enable_tb_split), int(p.encoder_speed),
+            int(enc.num_intra_modes))(
+            org_y_d, org_u_d, org_v_d, refY_d, refU_d, refV_d, sign_d,
+            sign_bi_d, jnp.float32(lam_me), jnp.int32(qpY),
+            jnp.int32(qpC), jnp.float32(lam))
 
     return dict(org_y=org_y, org_u=org_u, org_v=org_v,
                 org_y_d=org_y_d, org_u_d=org_u_d, org_v_d=org_v_d,
@@ -1431,16 +1646,33 @@ def finish_inter_frame_device(enc, w, ctx):
         leaves, splits = _decide_frame(enc, meas, intra_modes,
                                        intra_costs, lam, lam_me)
 
+    # second-chance round (speed <= 1): price the skip candidates the
+    # first walk could not match, then decide again
+    extra_vars = None
+    if p.encoder_speed <= 1:
+        with _t.stage('second_chance'):
+            extra_vars = _second_chance(enc, ctx, meas, trials_dev,
+                                        leaves)
+            if extra_vars is not None:
+                enc.deblock_data.reset()
+                leaves, splits = _decide_frame(
+                    enc, meas, intra_modes, intra_costs, lam, lam_me)
+    if rec is not None:
+        rec['extra_vars'] = extra_vars
+
     # --- final reconstruction (decoder's program) ---
+    # narrow dtypes: these cell maps cross the host->device link every
+    # frame (~3.6 MB/frame as int32 at 1080p through a ~32 MB/s
+    # tunnel); int16/uint8 carry the same information at 1/3 the bytes
     H4, W4 = H // 4, W // 4
-    mvxc = np.zeros((H4, W4), np.int32)
-    mvyc = np.zeros((H4, W4), np.int32)
-    slc = np.zeros((H4, W4), np.int32)
-    mvx1c = np.zeros((H4, W4), np.int32)
-    mvy1c = np.zeros((H4, W4), np.int32)
-    sl1c = np.zeros((H4, W4), np.int32)
-    bic = np.zeros((H4, W4), np.int32)
-    size_cells = np.zeros((H4, W4), np.int32)
+    mvxc = np.zeros((H4, W4), np.int16)
+    mvyc = np.zeros((H4, W4), np.int16)
+    slc = np.zeros((H4, W4), np.uint8)
+    mvx1c = np.zeros((H4, W4), np.int16)
+    mvy1c = np.zeros((H4, W4), np.int16)
+    sl1c = np.zeros((H4, W4), np.uint8)
+    bic = np.zeros((H4, W4), np.uint8)
+    size_cells = np.zeros((H4, W4), np.uint8)
     coded = {s: [] for s in SIZES}
     intra_leaves = []
     for lf in leaves:
@@ -1468,7 +1700,7 @@ def finish_inter_frame_device(enc, w, ctx):
     mtb = {}
     for s in SIZES:
         N = (H // s) * (W // s)
-        ksel[s] = np.zeros(N, np.int32)
+        ksel[s] = np.zeros(N, np.int16)
         msk[s] = np.zeros(N, bool)
         mtb[s] = np.zeros(N, bool)
         for lf in coded[s]:
@@ -1481,11 +1713,11 @@ def finish_inter_frame_device(enc, w, ctx):
     # per-cell stream MVs -> visual MVs (future-ref sign fold; bipred
     # cells fold both lists by the bipred sign)
     sg0 = np.where(bic != 0, sign_bi[slc], sign[slc]) != 0
-    mvxc_v = np.where(sg0, -mvxc, mvxc)
-    mvyc_v = np.where(sg0, -mvyc, mvyc)
+    mvxc_v = np.where(sg0, -mvxc, mvxc).astype(np.int16)
+    mvyc_v = np.where(sg0, -mvyc, mvyc).astype(np.int16)
     sg1 = sign_bi[sl1c] != 0
-    mvx1c_v = np.where(sg1, -mvx1c, mvx1c)
-    mvy1c_v = np.where(sg1, -mvy1c, mvy1c)
+    mvx1c_v = np.where(sg1, -mvx1c, mvx1c).astype(np.int16)
+    mvy1c_v = np.where(sg1, -mvy1c, mvy1c).astype(np.int16)
 
     intra_arr = None
     if intra_leaves:
@@ -1785,28 +2017,19 @@ def replay_device_frame(rec, refstate):
     fast32 = speed > 1
     fast64 = speed > 0
 
-    variants = _measure_fn(
+    variants, trials_dev, _intra = _measure_all_fn(
         H, W, R, rec['has_bi'], rec['bslot0'], rec['bslot1'],
-        rec['seq_bipred'])(
-        org_y_d, refY, refU, refV, sign_d, sign_bi_d,
-        jnp.float32(rec['lam_me']))
-    trials_dev = {}
-    for s in SIZES:
-        v = variants[s]
-        fastY = (s == 64 and fast64) or fast32
-        tb_s = rec['tb_split'] == 1 and s > 8
-        fastY2 = s == 64 or fast32
-        trials_dev[s] = _trial_fn(H, W, s, fastY, fast32,
-                                  rec['has_bi'], tb_s, fastY2,
-                                  rec['seq_bipred'])(
-            org_y_d, org_u_d, org_v_d, refY, refU, refV,
-            v['mvy'], v['mvx'], v['slot'], v['mvy1'], v['mvx1'],
-            v['slot1'], v['bi'], jnp.int32(qpY), jnp.int32(qpC),
-            sign_d, sign_bi_d)
-    from .device_intra import search_intra_frame_device
-    search_intra_frame_device(
-        org_y_d, org_u_d, org_v_d, qpY, qpC, rec['lam'], W, H,
-        fast32, rec['nmodes'], intra_quant=False)
+        rec['seq_bipred'], rec['tb_split'], speed, rec['nmodes'])(
+        org_y_d, org_u_d, org_v_d, refY, refU, refV, sign_d,
+        sign_bi_d, jnp.float32(rec['lam_me']), jnp.int32(qpY),
+        jnp.int32(qpC), jnp.float32(rec['lam']))
+    if rec.get('extra_vars') is not None:
+        t2 = _extra_banks(H, W, rec['tb_split'], speed,
+                          rec['seq_bipred'], org_y_d, org_u_d,
+                          org_v_d, refY, refU, refV,
+                          rec['extra_vars'], qpY, qpC, rec['sign'],
+                          rec['sign_bi'])
+        _merge_banks(trials_dev, t2, 3 + R)
 
     y_d, u_d, v_d, _ = _dispatch_final(
         H, W, trials_dev, refY, refU, refV, rec['fin'], org_y_d,

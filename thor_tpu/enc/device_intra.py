@@ -234,22 +234,19 @@ def _search_fn(s: int, fast: bool, nmodes: int,
         cbps, ssds = [], []
         for mode in range(nmodes):
             predY = jax.vmap(
-                lambda L, T, t, y, x: JK.intra_predict(
+                lambda L, T, t, y, x: JK.intra_predict_s(
                     L, T, t, y, x, s, mode))(leftY, topY, tlY, ty, tx)
             predU = jax.vmap(
-                lambda L, T, t, y, x: JK.intra_predict(
+                lambda L, T, t, y, x: JK.intra_predict_s(
                     L, T, t, y, x, sc, mode))(
                 leftC[:, 0], topC[:, 0], tlU, tyc, txc)
             predV = jax.vmap(
-                lambda L, T, t, y, x: JK.intra_predict(
+                lambda L, T, t, y, x: JK.intra_predict_s(
                     L, T, t, y, x, sc, mode))(
                 leftC[:, 1], topC[:, 1], tlV, tyc, txc)
-            qy, cy, sy_ = plane_mode(by, predY[:, :s, :s], s, qpY,
-                                     zzy, False)
-            qu, cu, su_ = plane_mode(bu, predU[:, :sc, :sc], sc,
-                                     qpC, zzc, True)
-            qv, cv, sv_ = plane_mode(bv, predV[:, :sc, :sc], sc,
-                                     qpC, zzc, True)
+            qy, cy, sy_ = plane_mode(by, predY, s, qpY, zzy, False)
+            qu, cu, su_ = plane_mode(bu, predU, sc, qpC, zzc, True)
+            qv, cv, sv_ = plane_mode(bv, predV, sc, qpC, zzc, True)
             qys.append(qy)
             qus.append(qu)
             qvs.append(qv)

@@ -640,6 +640,48 @@ def _pad64(p):
     return jnp.pad(p, ((0, 64 - s), (0, 64 - s))) if s < 64 else p
 
 
+def intra_predict_s(left, top, tl, ty, tx, s: int, mode):
+    """[s, s] static-size intra prediction - bit-equal to
+    intra_predict(...)[:s, :s] without materializing the 64x64 tile
+    (the mode SEARCH evaluates 10 modes x every block of the frame;
+    the fixed 64x64 output made the s=8 search build [N, 64, 64]
+    tensors, 64x wasted work - round-5 xplane profile)."""
+    s = int(s)
+
+    def f_dc(_):
+        k = jnp.arange(128, dtype=jnp.int32)
+        l = jnp.where(tx != 0, left, top)
+        t = jnp.where(ty != 0, top, left)
+        valid = k < s
+        ssum = jnp.sum(jnp.where(valid, l, 0))             + jnp.sum(jnp.where(valid, t, 0))
+        dc = (ssum + s) // (2 * s)
+        return jnp.full((s, s), dc, jnp.int32)
+
+    def f_planar(_):
+        def filt5(v):
+            kk = jnp.arange(s, dtype=jnp.int32)
+            c = lambda a: jnp.maximum(a, 0)
+            d = lambda a: jnp.minimum(a, s - 1)
+            return (v[c(kk - 2)] + 2 * v[c(kk - 1)] + 2 * v[kk]
+                    + 2 * v[d(kk + 1)] + v[d(kk + 2)])
+        topF, leftF = filt5(top), filt5(left)
+        tlF = left[1] + 2 * left[0] + 2 * tl + 2 * top[0] + top[1]
+        v = leftF[:, None] + topF[None, :] - tlF + 4
+        return clip255(_trunc_div8(v))
+
+    def f_hor(_):
+        return jnp.broadcast_to(left[:s, None], (s, s))
+
+    def f_ver(_):
+        return jnp.broadcast_to(top[None, :s], (s, s))
+
+    fns = [f_dc, f_planar, f_hor, f_ver] + [
+        (lambda m_: lambda _: _intra_diag_static(left, top, tl, s, m_))
+        (m_) for m_ in range(4, 10)]
+    mode_idx = jnp.where(mode >= 10, 0, mode)
+    return lax.switch(mode_idx, fns, None)
+
+
 def _rows(vec, starts, n):
     """Stack rows vec[st:st+n] for static starts (pure slices)."""
     return jnp.stack([lax.slice_in_dim(vec, st, st + n) for st in starts])

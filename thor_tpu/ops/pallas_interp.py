@@ -182,23 +182,23 @@ def _me_level_kernel(gx_ref, gy_ref, wt_ref, p0_ref, p1_ref,
         ssx = _scale_val(skx, -wt1, wt0)
         ssy = _scale_val(sky, -wt1, wt0)
 
-        # --- skip test ---------------------------------------------
+        # --- skip test: the four 8x8 sub-SADs come from ONE 16x16
+        # window pair (the sub-blocks tile the block) ----------------
         sk = jnp.bool_(True)
+        xs0f = xstart + ((ssx + ACC_ROUND) >> ACC_BITS)
+        xs1f = xstart + ((skx + ACC_ROUND) >> ACC_BITS)
+        ys0f = ystart + ((ssy + ACC_ROUND) >> ACC_BITS)
+        ys1f = ystart + ((sky + ACC_ROUND) >> ACC_BITS)
+        af = _win_clip(p0_ref, ys0f, xs0f, 16, pad, h, w, base)
+        bf = _win_clip(p1_ref, ys1f, xs1f, 16, pad, h, w, base)
+        adf = jnp.abs(af - bf)
         for dy in (0, 8):
             for dx in (0, 8):
-                q = xstart + dx
-                ppos = ystart + dy
-                xs0 = q + ((ssx + ACC_ROUND) >> ACC_BITS)
-                xs1 = q + ((skx + ACC_ROUND) >> ACC_BITS)
-                ys0 = ppos + ((ssy + ACC_ROUND) >> ACC_BITS)
-                ys1 = ppos + ((sky + ACC_ROUND) >> ACC_BITS)
-                inb = ((xs0 >= -pad) & (xs0 + 8 <= wP)
-                       & (ys0 >= -pad) & (ys0 + 8 <= hP)
-                       & (xs1 >= -pad) & (xs1 + 8 <= wP)
-                       & (ys1 >= -pad) & (ys1 + 8 <= hP))
-                a = _win_clip(p0_ref, ys0, xs0, 8, pad, h, w, base)
-                b = _win_clip(p1_ref, ys1, xs1, 8, pad, h, w, base)
-                s8 = jnp.sum(jnp.abs(a - b))
+                inb = ((xs0f + dx >= -pad) & (xs0f + dx + 8 <= wP)
+                       & (ys0f + dy >= -pad) & (ys0f + dy + 8 <= hP)
+                       & (xs1f + dx >= -pad) & (xs1f + dx + 8 <= wP)
+                       & (ys1f + dy >= -pad) & (ys1f + dy + 8 <= hP))
+                s8 = jnp.sum(adf[dy:dy + 8, dx:dx + 8])
                 sk = sk & inb & (s8 <= thr)
 
         # --- candidate list (zero, [guide], up-right, left, up) ----
@@ -243,48 +243,58 @@ def _me_level_kernel(gx_ref, gy_ref, wt_ref, p0_ref, p1_ref,
             return mv_cost(mx, my) + sad_pair(xstart, ystart, a0x, a0y,
                                               mx, my, bbs)
 
-        best_cost = jnp.int32(_BIG)
-        best_x = cand[0][0]
-        best_y = cand[0][1]
-        c_eff = jnp.int32(0)
-        for c in range(K):
-            cost0 = full_cost(cand[c][0], cand[c][1])
-            gate = cv[c] & (((4 + c_eff) * cost0) // 8 < best_cost)
-            c_eff = c_eff + cv[c].astype(jnp.int32)
+        def search(_):
+            best_cost = jnp.int32(_BIG)
+            best_x = cand[0][0]
+            best_y = cand[0][1]
+            c_eff = jnp.int32(0)
+            for c in range(K):
+                cost0 = full_cost(cand[c][0], cand[c][1])
+                gate = cv[c] & (((4 + c_eff) * cost0) // 8 < best_cost)
+                c_eff = c_eff + cv[c].astype(jnp.int32)
 
-            # the four cross points are built from the iteration-start
-            # ref_mv (tuple display semantics): capture (rx0, ry0) at
-            # the top of each iteration
-            def refine_iter(_, st):
-                cost, rx, ry, shift, active = st
-                rx0, ry0 = rx, ry
-                off = jnp.left_shift(1, jnp.maximum(shift, 0))
-                it_better = jnp.bool_(False)
-                for d in range(4):
-                    ddx = (-1, 1, 0, 0)[d] * off
-                    ddy = (0, 0, -1, 1)[d] * off
-                    bc = full_cost(rx0 + ddx, ry0 + ddy)
-                    better = active & (bc < cost)
-                    cost = jnp.where(better, bc, cost)
-                    rx = jnp.where(better, rx0 + ddx, rx)
-                    ry = jnp.where(better, ry0 + ddy, ry)
-                    it_better = it_better | better
-                shift = jnp.where(it_better, shift, shift - 1)
-                active = active & (shift >= ACC_BITS)
-                return (cost, rx, ry, shift, active)
+                # the four cross points are built from the
+                # iteration-start ref_mv (tuple display semantics)
+                def refine_iter(_, st):
+                    cost, rx, ry, shift, active = st
+                    rx0, ry0 = rx, ry
+                    off = jnp.left_shift(1, jnp.maximum(shift, 0))
+                    it_better = jnp.bool_(False)
+                    for d in range(4):
+                        ddx = (-1, 1, 0, 0)[d] * off
+                        ddy = (0, 0, -1, 1)[d] * off
+                        bc = full_cost(rx0 + ddx, ry0 + ddy)
+                        better = active & (bc < cost)
+                        cost = jnp.where(better, bc, cost)
+                        rx = jnp.where(better, rx0 + ddx, rx)
+                        ry = jnp.where(better, ry0 + ddy, ry)
+                        it_better = it_better | better
+                    shift = jnp.where(it_better, shift, shift - 1)
+                    active = active & (shift >= ACC_BITS)
+                    return (cost, rx, ry, shift, active)
 
-            cost, ref_x, ref_y, _, _ = lax.fori_loop(
-                0, n_ref_iters, refine_iter,
-                (cost0, cand[c][0], cand[c][1],
-                 jnp.int32(shift0), gate))
-            upd = cv[c] & (cost < best_cost)
-            best_cost = jnp.where(upd, cost, best_cost)
-            best_x = jnp.where(upd, ref_x, best_x)
-            best_y = jnp.where(upd, ref_y, best_y)
+                def run_refine(_):
+                    return lax.fori_loop(
+                        0, n_ref_iters, refine_iter,
+                        (cost0, cand[c][0], cand[c][1],
+                         jnp.int32(shift0), gate))[:3]
 
-        # --- choose skip vs searched; write the 2x2 cells ----------
-        v1x = jnp.where(sk, skx, best_x)
-        v1y = jnp.where(sk, sky, best_y)
+                cost, ref_x, ref_y = lax.cond(
+                    gate, run_refine,
+                    lambda _: (cost0, cand[c][0], cand[c][1]), None)
+                upd = cv[c] & (cost < best_cost)
+                best_cost = jnp.where(upd, cost, best_cost)
+                best_x = jnp.where(upd, ref_x, best_x)
+                best_y = jnp.where(upd, ref_y, best_y)
+            return best_x, best_y
+
+        best_x, best_y = lax.cond(
+            sk, lambda _: (skx, sky), search, None)
+
+        # --- write the 2x2 cells (best_* is the skip vector on
+        # skip blocks - the search branch never ran) ----------------
+        v1x = best_x
+        v1y = best_y
         v0x = jnp.where(sk, ssx, _scale_val(best_x, -wt1, wt0))
         v0y = jnp.where(sk, ssy, _scale_val(best_y, -wt1, wt0))
         bgv = sk.astype(jnp.int32)
@@ -329,18 +339,24 @@ def _me_level_kernel(gx_ref, gy_ref, wt_ref, p0_ref, p1_ref,
             nvalid = nvalid + oks[j].astype(jnp.int32)
         multi = nvalid > 1
 
-        bcost = jnp.int32(_BIG)
-        bx = jnp.int32(0)
-        by = jnp.int32(0)
-        for c in range(Km):
-            mx, my = cands[c][0], cands[c][1]
-            a0x = _scale_val(mx, -wt1, wt0)
-            a0y = _scale_val(my, -wt1, wt0)
-            s = sad_pair(xs_cell, ys_cell, a0x, a0y, mx, my, bs)
-            take = oks[c] & (s < bcost)
-            bcost = jnp.where(take, s, bcost)
-            bx = jnp.where(take, mx, bx)
-            by = jnp.where(take, my, by)
+        def merge_search(_):
+            bcost = jnp.int32(_BIG)
+            bx = jnp.int32(0)
+            by = jnp.int32(0)
+            for c in range(Km):
+                mx, my = cands[c][0], cands[c][1]
+                a0x = _scale_val(mx, -wt1, wt0)
+                a0y = _scale_val(my, -wt1, wt0)
+                s = sad_pair(xs_cell, ys_cell, a0x, a0y, mx, my, bs)
+                take = oks[c] & (s < bcost)
+                bcost = jnp.where(take, s, bcost)
+                bx = jnp.where(take, mx, bx)
+                by = jnp.where(take, my, by)
+            return bx, by
+
+        bx, by = lax.cond(
+            multi, merge_search,
+            lambda _: (cands[0][0], cands[0][1]), None)
         o1x = jnp.where(multi, bx, _mget(m1x, ii, jj))
         o1y = jnp.where(multi, by, _mget(m1y, ii, jj))
         o0x = jnp.where(multi, _scale_val(bx, -wt1, wt0),

