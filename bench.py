@@ -115,8 +115,10 @@ def child_decode_verify():
 
 def child_decode_ra16():
     """1080p RA16 (hierarchical-B + interpolated references) e2e decode
-    throughput: exercises the device temporal-interpolation pipeline
-    (ops/device_interp.py) on every interp-ref B frame - the
+    throughput: exercises the device temporal-interpolation pipeline -
+    on TPU the Pallas whole-pass pyramid kernels (ops/pallas_interp.py,
+    the round-5 default; the synthesized reference stays
+    device-resident) - on every interp-ref B frame, the
     high-efficiency config family the LDB headline number never
     touches (round-3 verdict, missing item 2)."""
     from thor_tpu.dec.decoder import Decoder

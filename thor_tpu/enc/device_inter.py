@@ -36,6 +36,7 @@ quantization); every emitted stream is fully valid Thor syntax.
 
 from __future__ import annotations
 
+import functools
 import os
 from functools import lru_cache
 
@@ -408,7 +409,10 @@ def _final_mc_fn(H: int, W: int, has_bi: bool = False,
     coded-leaf-count buckets the previous scatter design needed), and
     the residual placement is a pure reshape instead of a scatter."""
     Hc, Wc = H // 2, W // 2
-    dq = jnp.asarray(np.asarray(GDEQUANT_TABLE, np.int32))
+    # numpy, not jnp: this builder may first run INSIDE another
+    # function's trace (_final_all), and a jnp constant created there
+    # would be a tracer captured by the lru-cached closure
+    dq_np = np.asarray(GDEQUANT_TABLE, np.int32)
     lutY = JK.build_luma_mc_lut(seq_bipred)
     lutC = JK.build_chroma_mc_lut()
 
@@ -491,6 +495,7 @@ def _final_mc_fn(H: int, W: int, has_bi: bool = False,
             pV = pV.at[:HB * sc_, :WB * sc_].set(
                 jnp.where(mbC, plane_of(bV, sc_),
                           pV[:HB * sc_, :WB * sc_]))
+        dq = jnp.asarray(dq_np)
         facY = jnp.left_shift(dq[qpY % 6], qpY // 6)
         facC = jnp.left_shift(dq[qpC % 6], qpC // 6)
         rY = jnp.zeros((H, W), jnp.int32)
@@ -679,6 +684,122 @@ def _intra_scan_arrays(intra_leaves, H, W):
     arrc["leftlen"] = padn(sz // 2 + dl, 4)
     arrc["cbx_nonzero"] = padn((tx // 2 > 0).astype(np.int32))
     return arr, arrc, npad
+
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "has_bi", "seq_bipred", "fast",
+                     "has_intra", "deblocking", "clpf", "interp"))
+def _final_all(trials_sel, refY, refU, refV, cells8, recs_y, cnt_y,
+               recs_c, cnt_c, own8, org_y, org_u, org_v, ddp, cm3,
+               qpY, qpC, beta, tc, tcC, *, H, W, has_bi, seq_bipred,
+               fast, has_intra, deblocking, clpf, interp):
+    """ONE jitted program for the whole finish half: final MC +
+    residuals, the Pallas intra scans, deblock + CLPF decision, packed
+    output and padded reference planes. Dispatch count (and its tunnel
+    latency) drops from ~5 calls to 1; the packed cell maps upload as
+    a single int16 tensor."""
+    c = cells8.astype(jnp.int32)
+    y_d, u_d, v_d = _final_mc_fn(H, W, has_bi, seq_bipred)(
+        refY, refU, refV, c[7], c[0], c[1], c[2], c[3], c[4], c[5],
+        c[6], trials_sel, qpY, qpC)
+    q16y = q16c = None
+    if has_intra:
+        from ..ops.pallas_enc_intra import (SIZES_Y, SIZES_C,
+                                            encode_scan_pallas)
+        planesY, q16y = encode_scan_pallas(
+            y_d[None], org_y[None], recs_y, cnt_y, qpY, SIZES_Y, fast,
+            False, interpret=interp)
+        y_d = planesY[0]
+        planesC, q16c = encode_scan_pallas(
+            jnp.stack([u_d, v_d]), jnp.stack([org_u, org_v]), recs_c,
+            cnt_c, qpC, SIZES_C, fast, False, interpret=interp)
+        u_d, v_d = planesC[0], planesC[1]
+    cm0, cm1, cm2 = cm3[0], cm3[1], cm3[2]
+    if has_intra:
+        # the walk-state side info prices intra cbp as (1,1,1); the
+        # CLPF candidate masks must reflect the ACTUAL coded cbp the
+        # decoder derives, which the in-program intra scans just
+        # produced - patch the intra-owned 8-cells from the q16 banks.
+        # (Deblock needs no patch: intra edges filter on mode alone.)
+        nT = q16y.shape[0]
+        bits = ((q16y[:, 0] != 0).any(axis=(1, 2)).astype(jnp.int32)
+                + 2 * (q16c[:, 0] != 0).any(axis=(1, 2)).astype(
+                    jnp.int32)
+                + 4 * (q16c[:, 1] != 0).any(axis=(1, 2)).astype(
+                    jnp.int32))
+        ow = own8.astype(jnp.int32)
+        g = bits[jnp.clip(ow - 1, 0, nT - 1)]
+        has = ow > 0
+        cm0 = jnp.where(has, (g & 1) != 0, cm0)
+        cm1 = jnp.where(has, (g & 2) != 0, cm1)
+        cm2 = jnp.where(has, (g & 4) != 0, cm2)
+    packed, bit_sb, refYp, refUp, refVp = _filter_fn(
+        H, W, deblocking, clpf)(
+        y_d, u_d, v_d, org_y, ddp, cm0, cm1, cm2, beta, tc, tcC)
+    return packed, bit_sb, refYp, refUp, refVp, q16y, q16c
+
+
+def _dispatch_final_fused(enc_geom, trials_dev, refY_d, refU_d, refV_d,
+                          fin, org_y_d, org_u_d, org_v_d, qpY, qpC,
+                          speed, seq_bipred, deblocking, clpf, ddp,
+                          cm3):
+    """Build the packed args and dispatch _final_all (the fused
+    pallas-scan path - used whenever the intra scan runs on Pallas or
+    the frame has no intra leaves)."""
+    from ..codec.constants import BETA_TABLE, TC_TABLE
+    from ..ops.pallas_enc_intra import (SIZES_Y, SIZES_C,
+                                        build_enc_records)
+    from .device_intra import _pallas_enc_interpret
+    H, W = enc_geom
+    tsel = {}
+    for s in SIZES:
+        t = trials_dev[s]
+        tsel[s] = {'qy': t['qy'], 'qu': t['qu'], 'qv': t['qv'],
+                   'cbp_y': t['cbp_y'], 'cbp_u': t['cbp_u'],
+                   'cbp_v': t['cbp_v'],
+                   'k': jnp.asarray(fin['ksel'][s]).astype(jnp.int32),
+                   'm': jnp.asarray(fin['msk'][s])}
+        if 'qy_tb' in t:
+            tsel[s].update({'qy_tb': t['qy_tb'], 'qu_tb': t['qu_tb'],
+                            'qv_tb': t['qv_tb'],
+                            'cbp_tb_y': t['cbp_tb_y'],
+                            'cbp_tb_u': t['cbp_tb_u'],
+                            'cbp_tb_v': t['cbp_tb_v'],
+                            'mtb': jnp.asarray(fin['mtb'][s])})
+    (mvxc_v, mvyc_v, slc, mvx1c_v, mvy1c_v, sl1c, bic) = fin['cells']
+    cells8 = np.stack([mvxc_v, mvyc_v,
+                       slc.astype(np.int16), mvx1c_v, mvy1c_v,
+                       sl1c.astype(np.int16), bic.astype(np.int16),
+                       fin['size_cells'].astype(np.int16)])
+    has_intra = fin['intra'] is not None
+    own8 = np.zeros((H // 8, W // 8), np.int16)
+    if has_intra:
+        arr, arrc, _ = fin['intra']
+        recs_y, cnt_y = build_enc_records(arr, SIZES_Y)
+        recs_c, cnt_c = build_enc_records(arrc, SIZES_C)
+        valid = np.asarray(arr['valid']) != 0
+        ty = np.asarray(arr['ty'])[valid]
+        tx = np.asarray(arr['tx'])[valid]
+        sz = np.asarray(arr['size'])[valid]
+        for i in range(len(ty)):
+            own8[ty[i] // 8:(ty[i] + sz[i]) // 8,
+                 tx[i] // 8:(tx[i] + sz[i]) // 8] = i + 1
+    else:
+        z = np.zeros((1, 1, 8), np.int32)
+        recs_y = recs_c = z
+        cnt_y = cnt_c = np.zeros(1, np.int32)
+    return _final_all(
+        tsel, refY_d, refU_d, refV_d, jnp.asarray(cells8),
+        jnp.asarray(recs_y), jnp.asarray(cnt_y), jnp.asarray(recs_c),
+        jnp.asarray(cnt_c), jnp.asarray(own8), org_y_d, org_u_d,
+        org_v_d, jnp.asarray(ddp), jnp.asarray(cm3), jnp.int32(qpY),
+        jnp.int32(qpC), jnp.int32(BETA_TABLE[qpY]),
+        jnp.int32(TC_TABLE[qpY]), jnp.int32(TC_TABLE[qpC]),
+        H=H, W=W, has_bi=fin['has_bi_cells'], seq_bipred=seq_bipred,
+        fast=speed > 1, has_intra=has_intra, deblocking=deblocking,
+        clpf=clpf, interp=_pallas_enc_interpret())
 
 
 def _dispatch_final(H, W, trials_dev, refY_d, refU_d, refV_d, fin,
@@ -1311,35 +1432,43 @@ def _collect_missing(enc, leaves, meas):
             lst = missing[s].setdefault(idx, [])
             if (c.mv0x, c.mv0y, c.ref_idx0) not in lst:
                 lst.append((c.mv0x, c.mv0y, c.ref_idx0))
-        # store exactly like the decision walk does (store_leaf)
-        if lf.mode in (MODE_SKIP, MODE_MERGE, MODE_INTER, MODE_BIPRED):
-            cbp = (0, 0, 0)
-            if lf.use_cbp:
-                if lf.tb:
-                    cbp = (int(m['cbp_tb_y'][lf.k, idx] != 0),
-                           int(m['cbp_tb_u'][lf.k, idx] != 0),
-                           int(m['cbp_tb_v'][lf.k, idx] != 0))
-                else:
-                    cbp = (int(m['cbp_y'][lf.k, idx]),
-                           int(m['cbp_u'][lf.k, idx]),
-                           int(m['cbp_v'][lf.k, idx]))
-            if lf.mode in (MODE_SKIP, MODE_MERGE):
-                dd.store_block(lf.ypos, lf.xpos, s, s, s, lf.mode, cbp,
-                               0, 0, (lf.mv,) * 4, (lf.mv1,) * 4,
-                               lf.ref, lf.ref1, lf.dir)
-            elif lf.mode == MODE_INTER:
-                dd.store_block(lf.ypos, lf.xpos, s, s, s, MODE_INTER,
-                               cbp, lf.tb, 0, (lf.mv,) * 4,
-                               ((0, 0),) * 4, lf.ref, 0, 0)
-            else:
-                dd.store_block(lf.ypos, lf.xpos, s, s, s, MODE_BIPRED,
-                               cbp, 0, 0, (lf.mv,) * 4, (lf.mv1,) * 4,
-                               lf.ref, lf.ref1, 2)
-        else:
-            mv4 = ((0, 0),) * 4
-            dd.store_block(lf.ypos, lf.xpos, s, s, s, MODE_INTRA,
-                           (1, 1, 1), 0, 0, mv4, mv4, 0, 0, -1)
+        _store_leaf_dd(dd, lf, m)
     return missing
+
+
+def _store_leaf_dd(dd, lf, m):
+    """Store one decided leaf into a side-info map exactly like the
+    decision walk / emission does (the native walk keeps its state in
+    C, so the fused finish replays the stores from the leaves)."""
+    s = lf.size
+    idx = lf.idx
+    if lf.mode in (MODE_SKIP, MODE_MERGE, MODE_INTER, MODE_BIPRED):
+        cbp = (0, 0, 0)
+        if lf.use_cbp:
+            if lf.tb:
+                cbp = (int(m['cbp_tb_y'][lf.k, idx] != 0),
+                       int(m['cbp_tb_u'][lf.k, idx] != 0),
+                       int(m['cbp_tb_v'][lf.k, idx] != 0))
+            else:
+                cbp = (int(m['cbp_y'][lf.k, idx]),
+                       int(m['cbp_u'][lf.k, idx]),
+                       int(m['cbp_v'][lf.k, idx]))
+        if lf.mode in (MODE_SKIP, MODE_MERGE):
+            dd.store_block(lf.ypos, lf.xpos, s, s, s, lf.mode, cbp,
+                           0, 0, (lf.mv,) * 4, (lf.mv1,) * 4,
+                           lf.ref, lf.ref1, lf.dir)
+        elif lf.mode == MODE_INTER:
+            dd.store_block(lf.ypos, lf.xpos, s, s, s, MODE_INTER,
+                           cbp, lf.tb, 0, (lf.mv,) * 4,
+                           ((0, 0),) * 4, lf.ref, 0, 0)
+        else:
+            dd.store_block(lf.ypos, lf.xpos, s, s, s, MODE_BIPRED,
+                           cbp, 0, 0, (lf.mv,) * 4, (lf.mv1,) * 4,
+                           lf.ref, lf.ref1, 2)
+    else:
+        mv4 = ((0, 0),) * 4
+        dd.store_block(lf.ypos, lf.xpos, s, s, s, MODE_INTRA,
+                       (1, 1, 1), 0, 0, mv4, mv4, 0, 0, -1)
 
 
 K_EXTRA = 4
@@ -1730,11 +1859,43 @@ def finish_inter_frame_device(enc, w, ctx):
     if rec is not None:
         rec['fin'] = fin
 
-    with _t.stage('final_mc'):
-        y_d, u_d, v_d, intra_q_dev = _dispatch_final(
-            H, W, trials_dev, refY_d, refU_d, refV_d, fin, org_y_d,
-            org_u_d, org_v_d, qpY, qpC, p.encoder_speed,
-            ctx['seq_bipred'])
+    from .device_intra import use_pallas_enc
+    fused = use_pallas_enc() or fin['intra'] is None
+    filt = None
+    if fused:
+        deblocking = bool(p.deblocking)
+        clpf = bool(p.clpf)
+        # the native decision walk keeps its side info in C; replay
+        # the leaf stores (identical to emission-time
+        # store_deblock_data for every packed field except intra cbp,
+        # which the in-program CLPF patch corrects from the scans)
+        enc.deblock_data.reset()
+        for lf in leaves:
+            _store_leaf_dd(enc.deblock_data, lf, meas[lf.size])
+        ddp = JK.pack_ddp({k: getattr(enc.deblock_data, k) for k in
+                           ("mode", "cbp_y", "mv0x", "mv0y", "mv1x",
+                            "mv1y", "tb_split", "size", "pb_part")})
+        cy8, cu8, cv8 = _clpf_cand_masks(enc.deblock_data, H, W)
+        cm3 = np.stack([cy8, cu8, cv8])
+        with _t.stage('final_mc'):
+            (packed_d, bit_sb_d, refYp, refUp, refVp, q16y_d,
+             q16c_d) = _dispatch_final_fused(
+                (H, W), trials_dev, refY_d, refU_d, refV_d, fin,
+                org_y_d, org_u_d, org_v_d, qpY, qpC, p.encoder_speed,
+                ctx['seq_bipred'], deblocking, clpf, ddp, cm3)
+        intra_q_dev = None
+        if fin['intra'] is not None:
+            nI = len(intra_leaves)
+            intra_q_dev = {'qy': q16y_d[:nI, 0], 'qu': q16c_d[:nI, 0],
+                           'qv': q16c_d[:nI, 1]}
+        filt = (packed_d, bit_sb_d, cy8, cu8, cv8, deblocking, clpf,
+                ddp, refYp, refUp, refVp)
+    else:
+        with _t.stage('final_mc'):
+            y_d, u_d, v_d, intra_q_dev = _dispatch_final(
+                H, W, trials_dev, refY_d, refU_d, refV_d, fin, org_y_d,
+                org_u_d, org_v_d, qpY, qpC, p.encoder_speed,
+                ctx['seq_bipred'])
 
     # --- chosen-coefficient gather (async index ops; fetched together
     # with the intra banks in ONE device_get below) ---
@@ -1759,6 +1920,11 @@ def finish_inter_frame_device(enc, w, ctx):
         got = jax.device_get({'intra': intra_q_dev, 'g': gather_dev})
     intra_q = got['intra'] or {}
     if intra_leaves:
+        if 'cy' not in intra_q:
+            # fused path ships q16 banks only; cbp == any nonzero
+            intra_q['cy'] = (intra_q['qy'] != 0).any(axis=(1, 2))
+            intra_q['cu'] = (intra_q['qu'] != 0).any(axis=(1, 2))
+            intra_q['cv'] = (intra_q['qv'] != 0).any(axis=(1, 2))
         intra_q['index'] = {(lf.ypos, lf.xpos): i
                             for i, lf in enumerate(intra_leaves)}
     coeff_host = {}
@@ -1782,6 +1948,8 @@ def finish_inter_frame_device(enc, w, ctx):
         try:
             with _t.stage('emit'):
                 _emit_native(enc, w, leaves, meas, coeff_host, intra_q)
+            if filt is not None:
+                return _finish_frame_fused(enc, w, *filt)
             return _finish_frame_device(enc, w, y_d, u_d, v_d, org_y_d,
                                         qpY, qpC)
         except Exception as e:
@@ -1906,6 +2074,8 @@ def finish_inter_frame_device(enc, w, ctx):
             for l in range(0, W, MAX_BLOCK_SIZE):
                 emit(MAX_BLOCK_SIZE, k, l)
 
+    if filt is not None:
+        return _finish_frame_fused(enc, w, *filt)
     return _finish_frame_device(enc, w, y_d, u_d, v_d, org_y_d, qpY,
                                 qpC)
 
@@ -1980,6 +2150,53 @@ def _finish_frame_device(enc, w, y_d, u_d, v_d, org_y_d, qpY, qpC):
     return y, u, v
 
 
+def _finish_frame_fused(enc, w, packed_d, bit_sb_d, cy8, cu8, cv8,
+                        deblocking, clpf, ddp, refYp, refUp, refVp):
+    """Tail of the fused finish path: cache the device-resident padded
+    references, record the replay fields, ONE packed fetch, per-SB
+    CLPF bit emission (filters already ran inside _final_all)."""
+    W_, H = enc.width, enc.height
+    _t = TIMER
+    SBH, SBW = H // MAX_BLOCK_SIZE, W_ // MAX_BLOCK_SIZE
+    cache = getattr(enc, '_dev_ref_cache', None)
+    if cache is None:
+        cache = enc._dev_ref_cache = {}
+    cache[('r', enc.frame_num)] = {
+        jax.config.jax_default_device: (refYp, refUp, refVp)}
+    while len(cache) > 40:
+        cache.pop(next(iter(cache)))
+
+    rec = getattr(enc, '_current_rec', None)
+    if rec is not None:
+        rec.update(ddp=ddp, cy8=cy8, cu8=cu8, cv8=cv8,
+                   deblocking=deblocking, clpf=clpf,
+                   own_key=('r', enc.frame_num))
+        enc._device_record.append(rec)
+        enc._current_rec = None
+
+    with _t.stage('fetch_recon'):
+        got = jax.device_get({'p': packed_d, 'b': bit_sb_d})
+    ph = got['p']
+    y = ph[:H]
+    u = ph[H:, :W_ // 2]
+    v = ph[H:, W_ // 2:]
+
+    if clpf:
+        w.putbits(1, 1)
+        w.putbits(1, 0)
+        if SBH > 0 and SBW > 0:
+            cand_sb = (cy8 | cu8 | cv8)[:SBH * 8, :SBW * 8] \
+                .reshape(SBH, 8, SBW, 8).any(axis=(1, 3))
+            if cand_sb.any():
+                bit_sb = got['b']
+                for k in range(SBH):
+                    for l in range(SBW):
+                        if cand_sb[k, l]:
+                            w.putbits(1, 1 if bit_sb[k, l] else 0)
+    enc._filters_done_on_device = True
+    return y, u, v
+
+
 # ---------------------------------------------------------------------------
 # Device-throughput replay (tools/device_encode_fps.py)
 # ---------------------------------------------------------------------------
@@ -2030,6 +2247,18 @@ def replay_device_frame(rec, refstate):
                           rec['extra_vars'], qpY, qpC, rec['sign'],
                           rec['sign_bi'])
         _merge_banks(trials_dev, t2, 3 + R)
+
+    from .device_intra import use_pallas_enc
+    if use_pallas_enc() or rec['fin']['intra'] is None:
+        cm3 = np.stack([rec['cy8'], rec['cu8'], rec['cv8']])
+        packed, _bit, refYp, refUp, refVp, _qy, _qc = \
+            _dispatch_final_fused(
+                (H, W), trials_dev, refY, refU, refV, rec['fin'],
+                org_y_d, org_u_d, org_v_d, qpY, qpC, speed,
+                rec['seq_bipred'], rec['deblocking'], rec['clpf'],
+                rec['ddp'], cm3)
+        refstate[rec['own_key']] = (refYp, refUp, refVp)
+        return packed
 
     y_d, u_d, v_d, _ = _dispatch_final(
         H, W, trials_dev, refY, refU, refV, rec['fin'], org_y_d,
