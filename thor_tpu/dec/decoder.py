@@ -384,7 +384,14 @@ class Decoder:
                 on_tpu = jax.default_backend() == "tpu"
             except Exception:
                 on_tpu = False
-            mode = "2" if (on_tpu and self.backend == "jax") else "0"
+            # the Pallas ME kernels keep both padded pictures
+            # VMEM-resident; beyond ~1440p that exceeds the 16 MB core
+            # VMEM, so UHD falls back to the host C twin
+            h, w = self.seq.height, self.seq.width
+            fits = 2 * (h + 216) * (((w + 192) >> 7 << 7) + 384) \
+                <= 14 * (1 << 20)
+            mode = "2" if (on_tpu and self.backend == "jax"
+                           and fits) else "0"
         if mode == "2":
             from ..ops.pallas_interp import interpolate_frames_pallas
             try:

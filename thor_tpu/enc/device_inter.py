@@ -842,7 +842,7 @@ def _dispatch_final(H, W, trials_dev, refY_d, refU_d, refV_d, fin,
         arr, arrc, npad = fin['intra']
         from .device_intra import (use_pallas_enc, pallas_scan_luma,
                                    pallas_scan_chroma)
-        if use_pallas_enc():
+        if use_pallas_enc(H, W):
             y_d, q16y, cbpy = pallas_scan_luma(
                 y_d, org_y_d, arr, jnp.int32(qpY), speed > 1, False)
             u_d, v_d, q16u, cbpu, q16v, cbpv = pallas_scan_chroma(
@@ -1860,7 +1860,7 @@ def finish_inter_frame_device(enc, w, ctx):
         rec['fin'] = fin
 
     from .device_intra import use_pallas_enc
-    fused = use_pallas_enc() or fin['intra'] is None
+    fused = use_pallas_enc(H, W) or fin['intra'] is None
     filt = None
     if fused:
         deblocking = bool(p.deblocking)
@@ -2249,7 +2249,7 @@ def replay_device_frame(rec, refstate):
         _merge_banks(trials_dev, t2, 3 + R)
 
     from .device_intra import use_pallas_enc
-    if use_pallas_enc() or rec['fin']['intra'] is None:
+    if use_pallas_enc(H, W) or rec['fin']['intra'] is None:
         cm3 = np.stack([rec['cy8'], rec['cu8'], rec['cv8']])
         packed, _bit, refYp, refUp, refVp, _qy, _qc = \
             _dispatch_final_fused(

@@ -360,11 +360,20 @@ def _walk_tree(split, modes, W, H):
     return out
 
 
-def use_pallas_enc() -> bool:
+def use_pallas_enc(H: int = 0, W: int = 0) -> bool:
     """Pallas whole-scan encoder kernel on real TPUs; the XLA lax.scan
     elsewhere. Override with THOR_PALLAS_ENC=1/0 (1 off-TPU implies
-    interpret mode). Mirrors dec/reconstruct_jax.use_pallas_intra."""
+    interpret mode). Mirrors dec/reconstruct_jax.use_pallas_intra.
+
+    With a geometry, also requires the kernel's VMEM residents (plane
+    + transpose + org) to fit: ~4K luma needs ~30 MB > the 16 MB core
+    VMEM, so UHD falls back to the XLA scan."""
     import os
+    if H and W:
+        Hp = ((8 + H) >> 7 << 7) + 384
+        Wp = ((8 + W) >> 7 << 7) + 384
+        if 3 * Hp * Wp > 14 * (1 << 20):
+            return False
     v = os.environ.get("THOR_PALLAS_ENC")
     if v is not None:
         return v not in ("0", "")
@@ -560,7 +569,7 @@ def encode_intra_frame_device(enc, w, org_y, org_u, org_v):
     arrc["leftlen"] = padn(sz // 2 + dl, 4)
     arrc["cbx_nonzero"] = padn((tx // 2 > 0).astype(np.int32))
 
-    if use_pallas_enc():
+    if use_pallas_enc(H, W):
         yj, q16y, cbpy = pallas_scan_luma(
             jnp.zeros((H, W), jnp.int32), jnp.asarray(org_y, jnp.int32),
             arr, jnp.int32(qpY), fast, True)
