@@ -241,7 +241,15 @@ def _trial_fn(H: int, W: int, s: int, fastY: bool, fastC: bool,
                     ssd_tb=sty + stu + stv, bits_tb=bty + btu + btv)
             return out
 
-        return jax.vmap(one)(mvy0, mvx0, slot0, mvy1, mvx1, slot1, bi)
+        # python loop, not vmap: under vmap every roll/select pass of
+        # the banded gather materializes the [K, HB, Hs, WB, wX]
+        # im2col tensor (~12 GB at 4K, ~3 GB at 1080p - HBM OOM /
+        # bandwidth waste); sequential variants peak at one tensor
+        K = mvy0.shape[0]
+        outs = [one(mvy0[k], mvx0[k], slot0[k], mvy1[k], mvx1[k],
+                    slot1[k], bi[k]) for k in range(K)]
+        return {key: jnp.stack([o[key] for o in outs])
+                for key in outs[0]}
 
     return jax.jit(f)
 
@@ -1399,6 +1407,20 @@ def _emit_native(enc, w, leaves, meas, coeff_host, intra_q):
 # Second-chance candidate measurement (round-5 RD fix)
 # ---------------------------------------------------------------------------
 
+def _fuse_dispatch() -> bool:
+    """Fuse the per-frame dispatches into single programs only where
+    per-call latency matters (real TPUs); the giant XLA CPU compiles
+    would dominate test time otherwise. THOR_FUSE_DISPATCH=1/0
+    overrides."""
+    v = os.environ.get("THOR_FUSE_DISPATCH")
+    if v is not None:
+        return v not in ("0", "")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _collect_missing(enc, leaves, meas):
     """Replay the decided leaves in coding order over a fresh side-info
     map and return, per size, {block_idx: [(mvx, mvy, ref), ...]} of
@@ -1710,13 +1732,41 @@ def measure_inter_frame_device(enc, org_y, org_u, org_v):
     sign_d = jnp.asarray(sign)
     sign_bi_d = jnp.asarray(sign_bi)
     with _t.stage('measure_dispatch'):
-        variants, trials_dev, intra_dev = _measure_all_fn(
-            H, W, R, has_bi, bslot0, bslot1, int(p.enable_bipred),
-            int(p.enable_tb_split), int(p.encoder_speed),
-            int(enc.num_intra_modes))(
-            org_y_d, org_u_d, org_v_d, refY_d, refU_d, refV_d, sign_d,
-            sign_bi_d, jnp.float32(lam_me), jnp.int32(qpY),
-            jnp.int32(qpC), jnp.float32(lam))
+        if _fuse_dispatch():
+            variants, trials_dev, intra_dev = _measure_all_fn(
+                H, W, R, has_bi, bslot0, bslot1, int(p.enable_bipred),
+                int(p.enable_tb_split), int(p.encoder_speed),
+                int(enc.num_intra_modes))(
+                org_y_d, org_u_d, org_v_d, refY_d, refU_d, refV_d,
+                sign_d, sign_bi_d, jnp.float32(lam_me), jnp.int32(qpY),
+                jnp.int32(qpC), jnp.float32(lam))
+        else:
+            # off-TPU: dispatch the parts separately - fusing only
+            # saves per-call link latency, and one giant XLA CPU
+            # compile is far slower than the sum of the parts
+            variants = _measure_fn(
+                H, W, R, has_bi, bslot0, bslot1, int(p.enable_bipred))(
+                org_y_d, refY_d, refU_d, refV_d, sign_d, sign_bi_d,
+                jnp.float32(lam_me))
+            fast32 = p.encoder_speed > 1
+            fast64 = p.encoder_speed > 0
+            trials_dev = {}
+            for s in SIZES:
+                v = variants[s]
+                fastY = (s == 64 and fast64) or fast32
+                tb_s = p.enable_tb_split == 1 and s > 8
+                fastY2 = s == 64 or fast32
+                trials_dev[s] = _trial_fn(H, W, s, fastY, fast32,
+                                          has_bi, tb_s, fastY2,
+                                          int(p.enable_bipred))(
+                    org_y_d, org_u_d, org_v_d, refY_d, refU_d, refV_d,
+                    v['mvy'], v['mvx'], v['slot'], v['mvy1'],
+                    v['mvx1'], v['slot1'], v['bi'], jnp.int32(qpY),
+                    jnp.int32(qpC), sign_d, sign_bi_d)
+            intra_dev = search_intra_frame_device(
+                org_y_d, org_u_d, org_v_d, qpY, qpC, lam, W, H,
+                p.encoder_speed > 1, enc.num_intra_modes,
+                intra_quant=False)
 
     return dict(org_y=org_y, org_u=org_u, org_v=org_v,
                 org_y_d=org_y_d, org_u_d=org_u_d, org_v_d=org_v_d,
@@ -1860,7 +1910,8 @@ def finish_inter_frame_device(enc, w, ctx):
         rec['fin'] = fin
 
     from .device_intra import use_pallas_enc
-    fused = use_pallas_enc(H, W) or fin['intra'] is None
+    fused = _fuse_dispatch() and (use_pallas_enc(H, W)
+                                  or fin['intra'] is None)
     filt = None
     if fused:
         deblocking = bool(p.deblocking)
@@ -2249,7 +2300,8 @@ def replay_device_frame(rec, refstate):
         _merge_banks(trials_dev, t2, 3 + R)
 
     from .device_intra import use_pallas_enc
-    if use_pallas_enc(H, W) or rec['fin']['intra'] is None:
+    if _fuse_dispatch() and (use_pallas_enc(H, W)
+                             or rec['fin']['intra'] is None):
         cm3 = np.stack([rec['cy8'], rec['cu8'], rec['cv8']])
         packed, _bit, refYp, refUp, refVp, _qy, _qc = \
             _dispatch_final_fused(
