@@ -1130,8 +1130,11 @@ def _rdoq_light(q, scoeff, last_pos, qp, tr_log2size, Nc, chroma):
     xs = (pos_seq, q[:, 2:].T, absc[:, 2:].T,
           absc[:, 1:Nc - 1].T, absc[:, :Nc - 2].T,
           sgn[:, 2:].T, sgn[:, 1:Nc - 1].T, sgn[:, :Nc - 2].T)
+    # latency-bound like coeff_bits: tiny elementwise body on [B]
+    # lanes, so unroll to amortize the per-trip loop overhead
     (qm4, qm3, qm2, qm1), outs = lax.scan(
-        step, (zerosB, zerosB, q[:, 0], q[:, 1]), xs)
+        step, (zerosB, zerosB, q[:, 0], q[:, 1]), xs,
+        unroll=min(8, max(1, Nc - 2)))
     # outs[i] = final value of position i (emitted as qm2 at step
     # pos=i+2); positions Nc-2, Nc-1 come from the final carry
     return jnp.concatenate(

@@ -507,6 +507,105 @@ def _mot_comp_kernel(m0x_ref, m0y_ref, m1x_ref, m1y_ref,
     lax.fori_loop(0, bh * bw, body, 0, unroll=False)
 
 
+def _mot_comp_kernel_uv(m0x_ref, m0y_ref, m1x_ref, m1y_ref,
+                        p0u_ref, p1u_ref, p0v_ref, p1v_ref,
+                        outu_ref, outv_ref,
+                        *, w, h, cs, clip_pad, base, bh, bw):
+    """U and V share the (halved) luma MV field, so one pass over the
+    block grid serves both planes: the MV loads, clip tests and
+    placement masks are computed once per block instead of once per
+    plane (ROADMAP round-6 item 2: ~30 ms/frame at 1080p)."""
+    hP, wP = h + clip_pad, w + clip_pad
+
+    def body(t, _):
+        ii = t // bw
+        jj = t % bw
+        ys_c = ii * cs
+        xs_c = jj * cs
+        m0x = _mget(m0x_ref, ii, jj)
+        m0y = _mget(m0y_ref, ii, jj)
+        m1x = _mget(m1x_ref, ii, jj)
+        m1y = _mget(m1y_ref, ii, jj)
+        xs0 = xs_c + ((m0x + ACC_ROUND) >> ACC_BITS)
+        xs1 = xs_c + ((m1x + ACC_ROUND) >> ACC_BITS)
+        ys0 = ys_c + ((m0y + ACC_ROUND) >> ACC_BITS)
+        ys1 = ys_c + ((m1y + ACC_ROUND) >> ACC_BITS)
+        in0 = ((xs0 >= -clip_pad) & (xs0 + cs <= wP)
+               & (ys0 >= -clip_pad) & (ys0 + cs <= hP))
+        in1 = ((xs1 >= -clip_pad) & (xs1 + cs <= wP)
+               & (ys1 >= -clip_pad) & (ys1 + cs <= hP))
+        both = in0 & in1
+        only1 = in1 & ~in0
+        only0 = in0 & ~in1
+
+        ry8 = pl.multiple_of((ys_c >> 3) << 3, 8)
+        rx128 = pl.multiple_of((xs_c >> 7) << 7, 128)
+        dy = ys_c - ry8
+        dx = xs_c - rx128
+        rr = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cc = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        m = ((rr >= dy) & (rr < dy + cs) & (cc >= dx) & (cc < dx + cs))
+        inb = (rr < cs) & (cc < cs)
+
+        for p0_ref, p1_ref, out_ref in ((p0u_ref, p1u_ref, outu_ref),
+                                        (p0v_ref, p1v_ref, outv_ref)):
+            a = _win_clip2(p0_ref, ys0, xs0, cs, clip_pad, base, h, w)
+            b = _win_clip2(p1_ref, ys1, xs1, cs, clip_pad, base, h, w)
+            avg = (a + b + 1) >> 1
+            px = jnp.where(both, avg,
+                           jnp.where(only1, b,
+                                     jnp.where(only0, a, avg)))
+            t128 = jnp.where(inb,
+                             jnp.pad(px, ((0, 8 - cs), (0, 128 - cs))),
+                             jnp.zeros((8, 128), jnp.int32))
+            t128 = pltpu.roll(pltpu.roll(t128, dy, axis=0), dx, axis=1)
+            old = out_ref[pl.ds(ry8, 8), pl.ds(rx128, 128)] \
+                .astype(jnp.int32)
+            out_ref[pl.ds(ry8, 8), pl.ds(rx128, 128)] = \
+                jnp.where(m, t128, old).astype(jnp.uint8)
+        return 0
+
+    lax.fori_loop(0, bh * bw, body, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "h", "cs", "clip_pad", "base", "interpret"))
+def mot_comp_pallas_uv(p0u, p1u, p0v, p1v, mv0, mv1, *, w, h, cs,
+                       clip_pad, base, interpret=False):
+    """mot_comp_pallas for the U+V pair in ONE kernel (shared MV
+    field). Returns ([h, w] u, [h, w] v) uint8."""
+    bh, bw = mv0.shape[:2]
+    Hp = _round_up(2 * base + h + 24, 8)
+    Wp = ((2 * base + w) >> 7 << 7) + 384
+
+    def padp(p):
+        return jnp.pad(p, ((0, Hp - p.shape[0]), (0, Wp - p.shape[1])))
+
+    bwA = _round_up(bw, 128)
+
+    def padm(a):
+        return jnp.pad(a, ((0, 0), (0, bwA - bw)))
+
+    Ho = _round_up(h + 8, 8)
+    Wo = _round_up(w, 128) + 128
+
+    kernel = functools.partial(
+        _mot_comp_kernel_uv, w=w, h=h, cs=cs, clip_pad=clip_pad,
+        base=base, bh=bh, bw=bw)
+    ou, ov = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((Ho, Wo), jnp.uint8),
+                   jax.ShapeDtypeStruct((Ho, Wo), jnp.uint8)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        interpret=interpret,
+    )(padm(mv0[:, :, 0]), padm(mv0[:, :, 1]),
+      padm(mv1[:, :, 0]), padm(mv1[:, :, 1]),
+      padp(p0u), padp(p1u), padp(p0v), padp(p1v))
+    return ou[:h, :w], ov[:h, :w]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("w", "h", "cs", "clip_pad", "base", "interpret"))
@@ -619,12 +718,11 @@ def interpolate_frames_pallas(ref0, ref1, ratio: int, pos: int,
     c0x = DI._scale_val_j(c1[:, :, 0], -wt1, wt0)
     c0y = DI._scale_val_j(c1[:, :, 1], -wt1, wt0)
     cm0 = jnp.stack([c0x, c0y], -1)
-    u = mot_comp_pallas(p0u, p1u, cm0, c1, w=w // 2, h=h // 2,
-                        cs=BLOCK_STEP // 4, clip_pad=BLOCK_STEP // 8,
-                        base=48, interpret=interpret)
-    v = mot_comp_pallas(p0v, p1v, cm0, c1, w=w // 2, h=h // 2,
-                        cs=BLOCK_STEP // 4, clip_pad=BLOCK_STEP // 8,
-                        base=48, interpret=interpret)
+    u, v = mot_comp_pallas_uv(p0u, p1u, p0v, p1v, cm0, c1,
+                              w=w // 2, h=h // 2,
+                              cs=BLOCK_STEP // 4,
+                              clip_pad=BLOCK_STEP // 8,
+                              base=48, interpret=interpret)
     yp = jnp.pad(y, 96, mode="edge")
     up = jnp.pad(u, 48, mode="edge")
     vp = jnp.pad(v, 48, mode="edge")
