@@ -48,7 +48,7 @@ def measure(yuv_path: str, width: int, height: int, n_frames: int,
     # metrics measure the chip's sustained pipeline, not the tunnel)
     import jax.numpy as jnp
     for rec in records:
-        for k in ("org_y", "org_u", "org_v"):
+        for k in ("org_y", "org_u", "org_v", "sign", "sign_bi"):
             rec[k] = jnp.asarray(rec[k])
 
     best = float("inf")
